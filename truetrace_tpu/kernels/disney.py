@@ -1,0 +1,355 @@
+"""Full Disney BSDF (Burley 2012 / 2015 extension): sample, evaluate, pdf.
+
+Feature-parity target is the reference's Materials.cginc (lobe pdf split
+`CalculateLobePdfs` :841-850; samplers :525-731; evaluator `EvaluateDisney`
+:853-933; microfacet math :123-330) — implemented fresh from the published
+BSDF, vectorized over a wavefront and fully differentiable (every branch is
+a `where`, so gradients flow through all material parameters).
+
+Conventions: tangent space with the shading normal = +z. `wo` points away
+from the surface (toward the camera along the path), `wi` is the sampled /
+evaluated direction. All functions take a per-ray material struct (gathered
+rows of scene.MaterialTable) and operate on [R]-batched arrays.
+
+Lobes and ids (returned by `disney_sample`, replayed by ReSTIR/diff):
+  0 diffuse (+ Burley retro, sheen, thin Hanrahan-Krueger SSS blend)
+  1 specular reflection (anisotropic GGX, VNDF-sampled; metallic+dielectric)
+  2 clearcoat (GTR1)
+  3 specular transmission (rough dielectric; Fresnel reflect/refract branch)
+
+Sampling and evaluation share `_eval_local`, so the pdf returned by
+`disney_sample` is exactly the pdf `disney_eval` reports for the same
+direction — the property MIS and the ReSTIR reconstruct path rely on.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from truetrace_tpu.core.math import (
+    dot, luminance, normalize, to_local, to_world)
+
+MIN_ALPHA = 1e-4
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _schlick_weight(cos_t):
+    m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    m2 = m * m
+    return m2 * m2 * m
+
+
+def _fresnel_dielectric(cos_i, eta):
+    """Exact unpolarized dielectric Fresnel. cos_i >= 0 on the incident
+    side; eta = n_transmitted / n_incident."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = (1.0 - cos_i * cos_i) / jnp.maximum(eta * eta, 1e-12)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
+    rp = (cos_t - eta * cos_i) / jnp.maximum(cos_t + eta * cos_i, 1e-12)
+    f = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+def _tint(base_color):
+    lum = luminance(base_color)
+    return jnp.where(lum[..., None] > 0.0,
+                     base_color / jnp.maximum(lum[..., None], 1e-6), 1.0)
+
+
+def _alphas(mat):
+    aspect = jnp.sqrt(1.0 - 0.9 * mat.anisotropic)
+    r2 = jnp.maximum(mat.roughness * mat.roughness, MIN_ALPHA)
+    ax = jnp.maximum(r2 / aspect, MIN_ALPHA)
+    ay = jnp.maximum(r2 * aspect, MIN_ALPHA)
+    return ax, ay
+
+
+def _cc_alpha(mat):
+    return jnp.maximum((1.0 - mat.clearcoat_gloss) * 0.1
+                       + mat.clearcoat_gloss * 0.001, 0.001)
+
+
+def _ggx_d_aniso(h, ax, ay):
+    hx = h[..., 0] / ax
+    hy = h[..., 1] / ay
+    t = hx * hx + hy * hy + h[..., 2] * h[..., 2]
+    return 1.0 / jnp.maximum(jnp.pi * ax * ay * t * t, 1e-12)
+
+
+def _smith_lambda_aniso(w, ax, ay):
+    wx = w[..., 0] * ax
+    wy = w[..., 1] * ay
+    wz = jnp.maximum(jnp.abs(w[..., 2]), 1e-6)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + (wx * wx + wy * wy) / (wz * wz)))
+
+
+def _smith_g1_aniso(w, ax, ay):
+    return 1.0 / (1.0 + _smith_lambda_aniso(w, ax, ay))
+
+
+def _smith_g2_aniso(wo, wi, ax, ay):
+    return 1.0 / (1.0 + _smith_lambda_aniso(wo, ax, ay)
+                  + _smith_lambda_aniso(wi, ax, ay))
+
+
+def _sample_vndf(wo, ax, ay, u2):
+    """Heitz 2018 visible-normal sampling of anisotropic GGX (wo.z > 0)."""
+    v = normalize(jnp.stack([wo[..., 0] * ax, wo[..., 1] * ay, wo[..., 2]],
+                            axis=-1))
+    lensq = v[..., 0] ** 2 + v[..., 1] ** 2
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12))
+    t1 = jnp.where(lensq[..., None] > 1e-9,
+                   jnp.stack([-v[..., 1] * inv, v[..., 0] * inv,
+                              jnp.zeros_like(inv)], axis=-1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), v.shape))
+    t2 = jnp.cross(v, t1)
+    r = jnp.sqrt(u2[..., 0])
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + v[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * v
+    return normalize(jnp.stack([nh[..., 0] * ax, nh[..., 1] * ay,
+                                jnp.maximum(nh[..., 2], 1e-6)], axis=-1))
+
+
+def _gtr1_d(hz, a):
+    a2 = a * a
+    t = 1.0 + (a2 - 1.0) * hz * hz
+    return (a2 - 1.0) / jnp.maximum(jnp.pi * jnp.log(a2) * t, 1e-12)
+
+
+def _g1_cc(w):
+    """Smith G1 with fixed alpha 0.25 (Disney clearcoat convention)."""
+    a = 0.25
+    wz = jnp.maximum(jnp.abs(w[..., 2]), 1e-6)
+    tan2 = (1.0 - wz * wz) / (wz * wz)
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + a * a * tan2))
+
+
+# ---------------------------------------------------------------------------
+# lobe selection probabilities (reference CalculateLobePdfs Materials.cginc:841)
+# ---------------------------------------------------------------------------
+
+def lobe_probs(mat):
+    metallic_brdf = mat.metallic
+    specular_bsdf = (1.0 - mat.metallic) * mat.spec_trans
+    dielectric_brdf = (1.0 - mat.spec_trans) * (1.0 - mat.metallic)
+    p_spec = metallic_brdf + dielectric_brdf
+    p_diff = dielectric_brdf
+    p_cc = jnp.clip(mat.clearcoat, 0.0, 1.0)
+    p_trans = specular_bsdf
+    total = jnp.maximum(p_spec + p_diff + p_cc + p_trans, 1e-9)
+    return (p_diff / total, p_spec / total, p_cc / total, p_trans / total)
+
+
+# ---------------------------------------------------------------------------
+# per-lobe evaluation (tangent space, wo.z > 0 after frame flip)
+# ---------------------------------------------------------------------------
+
+def _eval_diffuse(mat, wo, wi, h):
+    cos_o = jnp.abs(wo[..., 2])
+    cos_i = wi[..., 2]
+    cos_d = dot(wi, h)
+    fl = _schlick_weight(jnp.abs(cos_i))
+    fv = _schlick_weight(cos_o)
+
+    rr = 2.0 * mat.roughness * cos_d * cos_d
+    f_lambert = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
+    f_retro = rr * (fl + fv + fl * fv * (rr - 1.0))
+    fss90 = 0.5 * rr
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(jnp.abs(cos_i) + cos_o, 1e-4)
+                        - 0.5) + 0.5)
+    diff_w = jnp.where(mat.thin > 0.5,
+                       (1.0 - mat.subsurface) * (f_lambert + f_retro)
+                       + mat.subsurface * ss,
+                       f_lambert + f_retro)
+
+    sheen_col = (1.0 - mat.sheen_tint)[..., None] + \
+        mat.sheen_tint[..., None] * _tint(mat.base_color)
+    f_sheen = (mat.sheen[..., None] * sheen_col
+               * _schlick_weight(jnp.abs(cos_d))[..., None])
+
+    f = mat.base_color / jnp.pi * diff_w[..., None] + f_sheen
+    dt = mat.diff_trans * (mat.thin > 0.5)
+    f = f * (1.0 - dt[..., None])
+    refl = cos_i > 0.0
+    f = jnp.where(refl[..., None], f, 0.0)
+    pdf = jnp.where(refl, jnp.abs(cos_i) / jnp.pi, 0.0)
+    return f, pdf
+
+
+def _eval_specular(mat, wo, wi, h):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    refl = (cos_i > 0.0) & (cos_o > 0.0)
+    ax, ay = _alphas(mat)
+    d = _ggx_d_aniso(h, ax, ay)
+    g1o = _smith_g1_aniso(wo, ax, ay)
+    g2 = _smith_g2_aniso(wo, wi, ax, ay)
+    hdotv = jnp.abs(dot(wo, h))
+
+    tint = _tint(mat.base_color)
+    f0_diel = (0.08 * mat.specular)[..., None] * \
+        ((1.0 - mat.spec_tint)[..., None] + mat.spec_tint[..., None] * tint)
+    f0 = f0_diel * (1.0 - mat.metallic)[..., None] \
+        + mat.base_color * mat.metallic[..., None]
+    fcol = f0 + (1.0 - f0) * _schlick_weight(hdotv)[..., None]
+
+    denom = jnp.maximum(4.0 * jnp.abs(cos_i) * jnp.abs(cos_o), 1e-6)
+    f = fcol * (d * g2 / denom)[..., None]
+    pdf = d * g1o / jnp.maximum(4.0 * jnp.abs(cos_o), 1e-6)
+    f = jnp.where(refl[..., None], f, 0.0)
+    pdf = jnp.where(refl, pdf, 0.0)
+    return f, pdf
+
+
+def _eval_clearcoat(mat, wo, wi, h):
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    refl = (cos_i > 0.0) & (cos_o > 0.0)
+    a = _cc_alpha(mat)
+    d = _gtr1_d(jnp.abs(h[..., 2]), a)
+    fr = 0.04 + 0.96 * _schlick_weight(jnp.abs(dot(wo, h)))
+    g = _g1_cc(wo) * _g1_cc(wi)
+    denom = jnp.maximum(4.0 * jnp.abs(cos_i) * jnp.abs(cos_o), 1e-6)
+    val = 0.25 * mat.clearcoat * d * fr * g / denom
+    f = jnp.where(refl, val, 0.0)[..., None] * jnp.ones_like(mat.base_color)
+    pdf = d * jnp.abs(h[..., 2]) / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-6)
+    pdf = jnp.where(refl, pdf, 0.0)
+    return f, pdf
+
+
+def _eval_transmission(mat, wo, wi, eta):
+    """Refraction side of the rough dielectric (wi.z < 0 < wo.z)."""
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    trans = (cos_i < 0.0) & (cos_o > 0.0)
+    ax, ay = _alphas(mat)
+    h = normalize(wo + wi * eta[..., None])
+    h = h * jnp.where(h[..., 2:3] < 0.0, -1.0, 1.0)
+    hdoto = dot(wo, h)
+    hdoti = dot(wi, h)
+    d = _ggx_d_aniso(h, ax, ay)
+    g2 = _smith_g2_aniso(wo, wi, ax, ay)
+    g1o = _smith_g1_aniso(wo, ax, ay)
+    fr = _fresnel_dielectric(jnp.abs(hdoto), eta)
+    denom = hdoto + eta * hdoti
+    denom2 = jnp.maximum(denom * denom, 1e-8)
+    val = (1.0 - fr) * d * g2 * jnp.abs(hdoto * hdoti) \
+        / jnp.maximum(jnp.abs(cos_o * cos_i) * denom2, 1e-8)
+    col = jnp.sqrt(jnp.clip(mat.base_color, 0.0, 1.0))
+    f = jnp.where(trans[..., None], val[..., None] * col, 0.0)
+    jac = eta * eta * jnp.abs(hdoti) / denom2
+    pdf_h = d * g1o * jnp.abs(hdoto) / jnp.maximum(jnp.abs(cos_o), 1e-6)
+    pdf = pdf_h * jac * (1.0 - fr)
+    pdf = jnp.where(trans, pdf, 0.0)
+    return f, pdf
+
+
+def _eval_local(mat, wo, wi):
+    """Combined BSDF value + effective sampling pdf, tangent space,
+    wo.z > 0 (caller flips the frame)."""
+    p_diff, p_spec, p_cc, p_trans = lobe_probs(mat)
+    eta = mat.ior  # frame flipped so wo is on the outside by convention
+
+    h_refl = normalize(wo + wi)
+    h_refl = h_refl * jnp.where(h_refl[..., 2:3] < 0.0, -1.0, 1.0)
+
+    f_d, pdf_d = _eval_diffuse(mat, wo, wi, h_refl)
+    f_s, pdf_s = _eval_specular(mat, wo, wi, h_refl)
+    f_c, pdf_c = _eval_clearcoat(mat, wo, wi, h_refl)
+    f_t, pdf_t = _eval_transmission(mat, wo, wi, eta)
+
+    diel = (1.0 - mat.metallic) * (1.0 - mat.spec_trans)
+    f = f_d * diel[..., None] + f_s + f_c + f_t
+    # transmission lobe reflects with probability fr(h): add that pdf mass
+    fr_refl = _fresnel_dielectric(jnp.abs(dot(wo, h_refl)), eta)
+    pdf = (p_diff * pdf_d + (p_spec + p_trans * fr_refl) * pdf_s
+           + p_cc * pdf_c + p_trans * pdf_t)
+    return f, pdf
+
+
+def _flip_frame(w, s):
+    return w * jnp.concatenate(
+        [jnp.ones_like(s), jnp.ones_like(s), s], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def disney_eval(mat, n, wo_w, wi_w):
+    """Evaluate BSDF + MIS pdf for world-space directions (two-sided: the
+    frame is flipped so wo is in the upper hemisphere)."""
+    wo = to_local(n, wo_w)
+    wi = to_local(n, wi_w)
+    s = jnp.where(wo[..., 2] < 0.0, -1.0, 1.0)[..., None]
+    return _eval_local(mat, _flip_frame(wo, s), _flip_frame(wi, s))
+
+
+def disney_sample(mat, n, wo_w, u_lobe, u2):
+    """Sample the BSDF. Returns (wi_world, f, pdf, lobe_id)."""
+    wo = to_local(n, wo_w)
+    s = jnp.where(wo[..., 2] < 0.0, -1.0, 1.0)[..., None]
+    wo_u = _flip_frame(wo, s)
+
+    p_diff, p_spec, p_cc, p_trans = lobe_probs(mat)
+    c1 = p_diff
+    c2 = c1 + p_spec
+    c3 = c2 + p_cc
+    lobe = (jnp.where(u_lobe < c1, 0,
+            jnp.where(u_lobe < c2, 1,
+            jnp.where(u_lobe < c3, 2, 3)))).astype(jnp.int32)
+
+    ax, ay = _alphas(mat)
+    eta = mat.ior
+
+    # diffuse: cosine hemisphere
+    r = jnp.sqrt(u2[..., 0])
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    wi_diff = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                         jnp.sqrt(jnp.maximum(1.0 - u2[..., 0], 0.0))], -1)
+
+    # specular: VNDF half-vector reflect
+    h_spec = _sample_vndf(wo_u, ax, ay, u2)
+    wi_spec = 2.0 * dot(wo_u, h_spec)[..., None] * h_spec - wo_u
+
+    # clearcoat: GTR1 half-vector reflect
+    a_cc = _cc_alpha(mat)
+    a2 = a_cc * a_cc
+    cos2 = (1.0 - jnp.power(a2, 1.0 - u2[..., 0])) / (1.0 - a2)
+    cos_h = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))
+    h_cc = jnp.stack([sin_h * jnp.cos(phi), sin_h * jnp.sin(phi), cos_h], -1)
+    wi_cc = 2.0 * dot(wo_u, h_cc)[..., None] * h_cc - wo_u
+
+    # transmission: same VNDF h; Fresnel chooses reflect/refract (stretched
+    # remainder of u_lobe is an independent uniform)
+    u_fr = jnp.clip((u_lobe - c3) / jnp.maximum(p_trans, 1e-6), 0.0, 1.0)
+    hdoto = dot(wo_u, h_spec)
+    fr = _fresnel_dielectric(jnp.abs(hdoto), eta)
+    inv_eta = 1.0 / jnp.maximum(eta, 1e-6)
+    cos_ti2 = 1.0 - inv_eta * inv_eta * (1.0 - hdoto * hdoto)
+    tir = cos_ti2 <= 0.0
+    cos_ti = jnp.sqrt(jnp.maximum(cos_ti2, 0.0))
+    wi_refr = normalize(-wo_u * inv_eta[..., None]
+                        + (inv_eta * hdoto - cos_ti)[..., None] * h_spec)
+    take_refl = tir | (u_fr < fr)
+    wi_trans = jnp.where(take_refl[..., None], wi_spec, wi_refr)
+
+    wi_u = jnp.where((lobe == 0)[..., None], wi_diff,
+            jnp.where((lobe == 1)[..., None], wi_spec,
+            jnp.where((lobe == 2)[..., None], wi_cc, wi_trans)))
+
+    f, pdf = _eval_local(mat, wo_u, wi_u)
+
+    wi_world = to_world(n, _flip_frame(wi_u, s))
+    return wi_world, f, pdf, lobe

@@ -1,0 +1,264 @@
+"""Scene intermediate representation: a pytree of arrays.
+
+TPU-first analogue of the reference's aggregated GPU mega-buffers
+(AssetManager.cs:986-1227 builds one global triangle / node / material /
+light-tri buffer with per-mesh offsets; layouts at SURVEY.md section 2.4).
+Differences by design:
+
+* SoA float32 arrays instead of byte-packed structs — XLA lays these out and
+  fuses gathers; octahedral/RGBE packing is applied only where bandwidth wins
+  (normals/tangents can be stored packed as uint32 when `packed=True`).
+* The whole scene is a single pytree, so it can be donated, sharded
+  (replicated across the mesh) and threaded through `lax` loops untouched.
+* All sizes are static after build — required for jit.
+
+Coordinate convention: right-handed, y-up, units = meters. Camera looks down
+-z in view space (standard GL-style), matching the maths in scene/camera.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class MaterialTable:
+    """Disney BSDF parameter table, one row per material.
+
+    Field set mirrors the reference's MaterialData (CommonVars.cs:94-137,
+    GPU view CommonData.cginc:215-257) minus the texture-atlas rects (textures
+    are indexed separately via `tex_*` index columns; -1 = none).
+    """
+    base_color: jnp.ndarray       # [M,3]
+    emission: jnp.ndarray         # [M,3]  (radiance; reference: EmissionColor * emission)
+    roughness: jnp.ndarray        # [M]
+    metallic: jnp.ndarray         # [M]
+    spec_trans: jnp.ndarray       # [M]   specular transmission (glass)
+    ior: jnp.ndarray              # [M]
+    specular: jnp.ndarray         # [M]   specular level (0.5 -> F0 0.04 scale)
+    spec_tint: jnp.ndarray        # [M]
+    sheen: jnp.ndarray            # [M]
+    sheen_tint: jnp.ndarray       # [M]
+    clearcoat: jnp.ndarray        # [M]
+    clearcoat_gloss: jnp.ndarray  # [M]
+    anisotropic: jnp.ndarray      # [M]
+    subsurface: jnp.ndarray       # [M]   flatness / thin-SSS weight
+    diff_trans: jnp.ndarray       # [M]   diffuse transmission (thin)
+    thin: jnp.ndarray             # [M]   0/1 thin-surface flag
+    alpha: jnp.ndarray            # [M]   cutout opacity
+    tex_albedo: jnp.ndarray       # [M] int32 atlas slot, -1 = none
+    tex_normal: jnp.ndarray       # [M]
+    tex_emission: jnp.ndarray     # [M]
+    tex_rough_metal: jnp.ndarray  # [M]
+
+    @staticmethod
+    def make(n: int) -> "MaterialTable":
+        f = lambda *s: jnp.zeros((n, *s), jnp.float32)
+        i = lambda: jnp.full((n,), -1, jnp.int32)
+        return MaterialTable(
+            base_color=jnp.ones((n, 3), jnp.float32) * 0.8,
+            emission=f(3), roughness=jnp.ones((n,), jnp.float32) * 0.5,
+            metallic=f(), spec_trans=f(),
+            ior=jnp.ones((n,), jnp.float32) * 1.5,
+            specular=jnp.ones((n,), jnp.float32) * 0.5,
+            spec_tint=f(), sheen=f(), sheen_tint=jnp.ones((n,), jnp.float32) * 0.5,
+            clearcoat=f(), clearcoat_gloss=jnp.ones((n,), jnp.float32) * 0.97,
+            anisotropic=f(), subsurface=f(), diff_trans=f(), thin=f(),
+            alpha=jnp.ones((n,), jnp.float32),
+            tex_albedo=i(), tex_normal=i(), tex_emission=i(),
+            tex_rough_metal=i(),
+        )
+
+    def n_materials(self) -> int:
+        return self.roughness.shape[0]
+
+
+@struct.dataclass
+class MeshTable:
+    """Two-level structure: one row per mesh *instance* (TLAS leaf).
+
+    Counterpart of MyMeshDataCompacted (CommonVars.cs:246-255): world<->local
+    transforms plus offsets into the aggregated triangle / CWBVH-node arrays.
+    Instancing = several rows sharing the same node/tri offsets.
+    """
+    w2l: jnp.ndarray          # [I,4,4] world->local (row-vector convention p @ M)
+    l2w: jnp.ndarray          # [I,4,4]
+    node_offset: jnp.ndarray  # [I] int32 into the aggregated CWBVH node array
+    tri_offset: jnp.ndarray   # [I] int32 into the aggregated triangle arrays
+    light_node_offset: jnp.ndarray  # [I] int32 into light-BVH nodes (-1 none)
+    aabb: jnp.ndarray         # [I,2,3] world-space bounds (refit input)
+
+
+@struct.dataclass
+class LightTris:
+    """Emissive-triangle list (reference LightTriData, CommonVars.cs:258-264).
+
+    `tri_index` points back into the global triangle arrays so radiance /
+    geometry are fetched rather than duplicated."""
+    tri_index: jnp.ndarray    # [L] int32 global tri id
+    power: jnp.ndarray        # [L] scalar emitted power (for CDF / RIS)
+    cdf: jnp.ndarray          # [L] inclusive normalized CDF over power
+    pmf: jnp.ndarray          # [L] selection probability (cdf diff)
+    tri_to_light: jnp.ndarray # [T] int32 inverse map, -1 = not emissive
+
+
+@struct.dataclass
+class AnalyticLights:
+    """Unity-style analytic lights (RayTracingLights.cs LightData, 48B):
+    type 0=point 1=directional 2=spot 3=quad(area) 4=disk(area)."""
+    position: jnp.ndarray     # [K,3]
+    direction: jnp.ndarray    # [K,3]
+    radiance: jnp.ndarray     # [K,3]
+    ltype: jnp.ndarray        # [K] int32
+    spot_cos: jnp.ndarray     # [K,2] inner/outer cos for spot
+    extent: jnp.ndarray       # [K,2] quad half-extents / disk radius
+    softness: jnp.ndarray     # [K]
+
+    @staticmethod
+    def none() -> "AnalyticLights":
+        z3 = jnp.zeros((0, 3), jnp.float32)
+        z2 = jnp.zeros((0, 2), jnp.float32)
+        z1 = jnp.zeros((0,), jnp.float32)
+        return AnalyticLights(z3, z3, z3, jnp.zeros((0,), jnp.int32), z2, z2, z1)
+
+
+@struct.dataclass
+class EnvMap:
+    """Equirect environment with 2-D CDF importance tables (built by
+    build/env_cdf.py; reference: CDFCreator.compute + SampleLI
+    CommonData.cginc:1437-1464)."""
+    image: jnp.ndarray        # [H,W,3] radiance
+    cdf_x: jnp.ndarray        # [H,W]   per-row inclusive CDF (conditional)
+    cdf_y: jnp.ndarray        # [H]     marginal CDF (sin-theta weighted)
+    total: jnp.ndarray        # []      integral for pdf normalization
+    rotation: jnp.ndarray     # []      azimuth rotation (radians)
+    intensity: jnp.ndarray    # []      scale
+
+    @staticmethod
+    def constant(rgb=(0.0, 0.0, 0.0)) -> "EnvMap":
+        img = jnp.broadcast_to(jnp.asarray(rgb, jnp.float32), (1, 1, 3))
+        return EnvMap(image=img,
+                      cdf_x=jnp.ones((1, 1), jnp.float32),
+                      cdf_y=jnp.ones((1,), jnp.float32),
+                      total=jnp.asarray(float(np.mean(rgb)), jnp.float32),
+                      rotation=jnp.float32(0.0), intensity=jnp.float32(1.0))
+
+
+@struct.dataclass
+class Scene:
+    """The aggregated, render-ready scene. Every array is device-resident and
+    replicated across the device mesh (scene data is read-only at render
+    time; framebuffers/reservoirs are the sharded state).
+
+    Triangle layout follows the reference's CudaTriangle edge form
+    (CommonVars.cs:437-456): pos0 + edge1 + edge2, per-vertex shading normals
+    and UVs, material id. BVH arrays are attached by the builders
+    (build/bvh2.py, build/cwbvh.py) — `bvh2_*` is the always-available
+    reference traversal structure; `cw_*` is the CWBVH used by the Pallas
+    fast path.
+    """
+    # geometry (aggregated across meshes; local/object space when mesh_table
+    # has non-identity transforms, world space in the single-BLAS case)
+    tri_p0: jnp.ndarray       # [T,3]
+    tri_e1: jnp.ndarray       # [T,3]
+    tri_e2: jnp.ndarray       # [T,3]
+    tri_n: jnp.ndarray        # [T,3,3] shading normals (v0,v1,v2)
+    tri_uv: jnp.ndarray       # [T,3,2]
+    tri_mat: jnp.ndarray      # [T] int32 material id
+
+    # BVH2 (flat, aggregated; see build/bvh2.py for node layout)
+    bvh2_box: jnp.ndarray     # [N,2,3] node bounds
+    bvh2_left: jnp.ndarray    # [N] int32: internal -> left child (right=left+1); leaf -> first tri
+    bvh2_count: jnp.ndarray   # [N] int32: 0 for internal, #tris for leaf
+
+    # CWBVH (8-wide compressed; see build/cwbvh.py). uint32 rows, one node =
+    # 20 words (80 B) exactly like the reference GPU node
+    # (CommonVars.cs:414-434) so a node fetch is one contiguous gather.
+    cw_nodes: jnp.ndarray     # [C,20] uint32
+    cw_tri_index: jnp.ndarray # [T] int32 CWBVH leaf order -> global tri id
+
+    materials: MaterialTable
+    mesh_table: Optional[MeshTable]
+    light_tris: LightTris
+    lights: AnalyticLights
+    env: EnvMap
+
+    # light BVH (PBRT-4; build/lightbvh.py), optional
+    lbvh_nodes: jnp.ndarray   # [LN,10] float32 rows (compact light-BVH node)
+    lbvh_prim: jnp.ndarray    # [L] int32 leaf order -> light-tri id
+
+    def n_tris(self) -> int:
+        return self.tri_p0.shape[0]
+
+
+@struct.dataclass
+class Camera:
+    """Pinhole + thin-lens camera (reference CreateCameraRay,
+    CommonData.cginc:511-554)."""
+    c2w: jnp.ndarray          # [4,4] camera->world
+    fov_y: jnp.ndarray        # [] vertical fov (radians)
+    aperture: jnp.ndarray     # [] lens radius (0 = pinhole)
+    focus_dist: jnp.ndarray   # []
+
+    @staticmethod
+    def look_at(eye, target, up=(0.0, 1.0, 0.0), fov_y_deg=40.0,
+                aperture=0.0, focus_dist=1.0) -> "Camera":
+        eye = np.asarray(eye, np.float32)
+        fwd = np.asarray(target, np.float32) - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, np.asarray(up, np.float32))
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        m = np.eye(4, dtype=np.float32)
+        m[0, :3] = right
+        m[1, :3] = true_up
+        m[2, :3] = -fwd          # camera looks down -z
+        m[3, :3] = eye
+        return Camera(c2w=jnp.asarray(m),
+                      fov_y=jnp.float32(np.deg2rad(fov_y_deg)),
+                      aperture=jnp.float32(aperture),
+                      focus_dist=jnp.float32(focus_dist))
+
+
+def camera_rays(cam: Camera, width: int, height: int, pixel_id, jitter,
+                lens_u=None):
+    """Generate primary rays for flat pixel ids.
+
+    pixel_id: [R] int32 (y*width+x); jitter: [R,2] U[0,1); lens_u: [R,2] for
+    DoF. Returns (ro [R,3], rd [R,3]).
+    """
+    x = (pixel_id % width).astype(jnp.float32) + jitter[..., 0]
+    y = (pixel_id // width).astype(jnp.float32) + jitter[..., 1]
+    # NDC in [-1,1], y up
+    ndc_x = (x / width) * 2.0 - 1.0
+    ndc_y = 1.0 - (y / height) * 2.0
+    tan_half = jnp.tan(cam.fov_y * 0.5)
+    aspect = width / height
+    vx = ndc_x * tan_half * aspect
+    vy = ndc_y * tan_half
+    d_cam = jnp.stack([vx, vy, -jnp.ones_like(vx)], axis=-1)
+
+    right = cam.c2w[0, :3]
+    up = cam.c2w[1, :3]
+    back = cam.c2w[2, :3]
+    eye = cam.c2w[3, :3]
+    rd = (d_cam[..., 0:1] * right + d_cam[..., 1:2] * up
+          - d_cam[..., 2:3] * (-back))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = jnp.broadcast_to(eye, rd.shape)
+
+    if lens_u is not None:
+        # thin-lens: offset origin on lens disk, refocus at focus_dist
+        r = jnp.sqrt(lens_u[..., 0]) * cam.aperture
+        phi = 2.0 * jnp.pi * lens_u[..., 1]
+        off = (r * jnp.cos(phi))[..., None] * right + \
+              (r * jnp.sin(phi))[..., None] * up
+        focus_p = ro + rd * (cam.focus_dist /
+                             jnp.maximum(-jnp.sum(rd * back, -1, keepdims=True), 1e-6))
+        ro = ro + off
+        rd = focus_p - ro
+        rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    return ro, rd

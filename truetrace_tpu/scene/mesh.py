@@ -1,0 +1,199 @@
+"""Host-side mesh container + scene compilation into the render-ready IR.
+
+This is the role of the reference's AssetManager.BuildCombined /
+AccumulateData aggregation pipeline (AssetManager.cs:954-1227): take raw
+meshes + materials, build acceleration structures, permute primitives into
+leaf order, extract emissive triangles, and emit the aggregated device
+arrays. Here it is a pure function: numpy in, `Scene` pytree out.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from truetrace_tpu.core import aabb as aabb_ops
+from truetrace_tpu.build.bvh2 import build_bvh2
+from truetrace_tpu.scene.ir import (
+    AnalyticLights, EnvMap, LightTris, MaterialTable, Scene)
+
+
+@dataclass
+class HostMesh:
+    """One mesh: positions [V,3], triangle indices [F,3], per-face material."""
+    positions: np.ndarray
+    indices: np.ndarray
+    mat_id: np.ndarray                    # [F] int32 (global material id)
+    normals: Optional[np.ndarray] = None  # [V,3] or None -> geometric
+    uvs: Optional[np.ndarray] = None      # [V,2] or None -> zeros
+
+
+@dataclass
+class HostMaterial:
+    """Host-side Disney material description (defaults = matte gray)."""
+    base_color: tuple = (0.8, 0.8, 0.8)
+    emission: tuple = (0.0, 0.0, 0.0)
+    roughness: float = 0.5
+    metallic: float = 0.0
+    spec_trans: float = 0.0
+    ior: float = 1.5
+    specular: float = 0.5
+    spec_tint: float = 0.0
+    sheen: float = 0.0
+    sheen_tint: float = 0.5
+    clearcoat: float = 0.0
+    clearcoat_gloss: float = 0.97
+    anisotropic: float = 0.0
+    subsurface: float = 0.0
+    diff_trans: float = 0.0
+    thin: float = 0.0
+    alpha: float = 1.0
+
+
+def material_table(mats: List[HostMaterial]) -> MaterialTable:
+    def col(name):
+        return jnp.asarray(np.array([getattr(m, name) for m in mats],
+                                    np.float32))
+    n = len(mats)
+    return MaterialTable(
+        base_color=col("base_color"), emission=col("emission"),
+        roughness=col("roughness"), metallic=col("metallic"),
+        spec_trans=col("spec_trans"), ior=col("ior"),
+        specular=col("specular"), spec_tint=col("spec_tint"),
+        sheen=col("sheen"), sheen_tint=col("sheen_tint"),
+        clearcoat=col("clearcoat"), clearcoat_gloss=col("clearcoat_gloss"),
+        anisotropic=col("anisotropic"), subsurface=col("subsurface"),
+        diff_trans=col("diff_trans"), thin=col("thin"), alpha=col("alpha"),
+        tex_albedo=jnp.full((n,), -1, jnp.int32),
+        tex_normal=jnp.full((n,), -1, jnp.int32),
+        tex_emission=jnp.full((n,), -1, jnp.int32),
+        tex_rough_metal=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+def flatten_meshes(meshes: List[HostMesh]):
+    """Concatenate meshes into world-space triangle soup (single-BLAS path).
+
+    Returns dict of numpy arrays: p0,e1,e2 [T,3], n [T,3,3], uv [T,3,2],
+    mat [T]."""
+    p0l, e1l, e2l, nl, uvl, ml = [], [], [], [], [], []
+    for mesh in meshes:
+        pos = mesh.positions.astype(np.float32)
+        idx = mesh.indices.astype(np.int64)
+        v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+        p0l.append(v0)
+        e1l.append(v1 - v0)
+        e2l.append(v2 - v0)
+        if mesh.normals is not None:
+            nrm = mesh.normals.astype(np.float32)
+            tn = np.stack([nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]]], 1)
+        else:
+            gn = np.cross(v1 - v0, v2 - v0)
+            gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+            tn = np.repeat(gn[:, None, :], 3, axis=1)
+        nl.append(tn)
+        if mesh.uvs is not None:
+            uv = mesh.uvs.astype(np.float32)
+            tuv = np.stack([uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]]], 1)
+        else:
+            tuv = np.zeros((idx.shape[0], 3, 2), np.float32)
+        uvl.append(tuv)
+        ml.append(mesh.mat_id.astype(np.int32))
+    return dict(
+        p0=np.concatenate(p0l), e1=np.concatenate(e1l),
+        e2=np.concatenate(e2l), n=np.concatenate(nl),
+        uv=np.concatenate(uvl), mat=np.concatenate(ml))
+
+
+def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
+    """Extract emissive triangles + power CDF (reference: ParentObject.cs
+    emissive extraction :983-1079 + LightTriData)."""
+    T = tris["mat"].shape[0]
+    emis = np.array([np.max(m.emission) for m in mats], np.float32)
+    is_emis = emis[tris["mat"]] > 0.0
+    ids = np.nonzero(is_emis)[0].astype(np.int32)
+    if ids.size == 0:
+        return LightTris(tri_index=jnp.zeros((0,), jnp.int32),
+                         power=jnp.zeros((0,), jnp.float32),
+                         cdf=jnp.zeros((0,), jnp.float32),
+                         pmf=jnp.zeros((0,), jnp.float32),
+                         tri_to_light=jnp.full((T,), -1, jnp.int32))
+    area = 0.5 * np.linalg.norm(
+        np.cross(tris["e1"][ids], tris["e2"][ids]), axis=-1)
+    lum = np.array([0.2126 * m.emission[0] + 0.7152 * m.emission[1]
+                    + 0.0722 * m.emission[2] for m in mats], np.float32)
+    power = area * lum[tris["mat"][ids]] * np.pi
+    cdf = np.cumsum(power)
+    cdf /= max(cdf[-1], 1e-20)
+    pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
+    inv = np.full((T,), -1, np.int32)
+    inv[ids] = np.arange(ids.size, dtype=np.int32)
+    return LightTris(tri_index=jnp.asarray(ids),
+                     power=jnp.asarray(power.astype(np.float32)),
+                     cdf=jnp.asarray(cdf.astype(np.float32)),
+                     pmf=jnp.asarray(pmf),
+                     tri_to_light=jnp.asarray(inv))
+
+
+def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
+                  env: Optional[EnvMap] = None,
+                  lights: Optional[AnalyticLights] = None,
+                  max_leaf: int = 4, with_cwbvh: bool = False,
+                  with_light_bvh: bool = False) -> Scene:
+    """Build the full render-ready Scene from host meshes (single BLAS)."""
+    tris = flatten_meshes(meshes)
+    tri_box = aabb_ops.from_tris(
+        tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
+    if with_cwbvh:
+        # CWBVH collapse needs BVH2 leaves with <= 3 prims
+        bvh = build_bvh2(tri_box, max_leaf=3, sah_leaf_cap=3)
+    else:
+        bvh = build_bvh2(tri_box, max_leaf=max_leaf)
+
+    # permute triangles into BVH leaf order so leaves are contiguous runs
+    perm = bvh.order
+    for key in ("p0", "e1", "e2", "n", "uv", "mat"):
+        tris[key] = tris[key][perm]
+
+    if with_cwbvh:
+        from truetrace_tpu.build.cwbvh import build_cwbvh
+        cw = build_cwbvh(bvh, tri_box[perm])
+        # re-permute triangles into CWBVH emit order; remap BVH2 leaf starts
+        # (each BVH2 leaf's tris stay contiguous in CWBVH order)
+        for key in ("p0", "e1", "e2", "n", "uv", "mat"):
+            tris[key] = tris[key][cw.tri_index]
+        leaf = bvh.count > 0
+        bvh.left[leaf] = cw.leaf_start[leaf]
+        cw_nodes = jnp.asarray(cw.nodes)
+        cw_tri_index = jnp.asarray(cw.tri_index)
+    else:
+        cw_nodes = jnp.zeros((0, 20), jnp.uint32)
+        cw_tri_index = jnp.zeros((0,), jnp.int32)
+
+    light_tris = _emissive_light_tris(tris, mats)
+
+    lbvh_nodes = jnp.zeros((0, 12), jnp.float32)
+    lbvh_prim = jnp.zeros((0,), jnp.int32)
+    if with_light_bvh and int(light_tris.tri_index.shape[0]) > 1:
+        from truetrace_tpu.build.lightbvh import build_light_bvh
+        lb = build_light_bvh(
+            tris, np.asarray(light_tris.tri_index),
+            np.asarray(light_tris.power))
+        lbvh_nodes = jnp.asarray(lb.nodes)
+        lbvh_prim = jnp.asarray(lb.prim)
+
+    return Scene(
+        tri_p0=jnp.asarray(tris["p0"]), tri_e1=jnp.asarray(tris["e1"]),
+        tri_e2=jnp.asarray(tris["e2"]), tri_n=jnp.asarray(tris["n"]),
+        tri_uv=jnp.asarray(tris["uv"]), tri_mat=jnp.asarray(tris["mat"]),
+        bvh2_box=jnp.asarray(bvh.box), bvh2_left=jnp.asarray(bvh.left),
+        bvh2_count=jnp.asarray(bvh.count),
+        cw_nodes=cw_nodes, cw_tri_index=cw_tri_index,
+        materials=material_table(mats), mesh_table=None,
+        light_tris=light_tris,
+        lights=lights if lights is not None else AnalyticLights.none(),
+        env=env if env is not None else EnvMap.constant((0.0, 0.0, 0.0)),
+        lbvh_nodes=lbvh_nodes, lbvh_prim=lbvh_prim,
+    )
