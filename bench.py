@@ -1,0 +1,100 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.json north star): CWBVH traversal throughput in Mrays/s on
+a Sponza-class scene (~250k-tri procedural atrium, same workload character
+as Crytek Sponza — the reference's geometry isn't shipped in its repo).
+The ray mix mirrors a 4-bounce path trace: 50% coherent primary rays, 50%
+incoherent bounce rays (random surface origins, cosine-hemisphere
+directions), half of the incoherent set traced as any-hit shadow rays.
+
+`vs_baseline` is the ratio against BASELINE_MRAYS — the first number
+recorded on this hardware (TPU v5e, round 1; see BASELINE.md). The
+reference renderer publishes no Mrays/s figures (SURVEY.md section 6), so
+the baseline is our own first measurement and must only go up.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# first measured value on TPU v5e (round 1, scatter-free wavefront CWBVH,
+# 293k-tri atrium, mixed primary/bounce/shadow rays)
+BASELINE_MRAYS = 0.344
+
+
+def main():
+    detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
+    R = int(os.environ.get("BENCH_RAYS", str(1 << 17)))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+
+    from truetrace_tpu.core import rng
+    from truetrace_tpu.kernels.cwbvh_wavefront import (
+        any_hit_wavefront, closest_hit_wavefront)
+    from truetrace_tpu.scene import atrium
+    from truetrace_tpu.scene.ir import camera_rays
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam, env = atrium.make(detail=detail)
+    scene = compile_scene(meshes, mats, env=env, with_cwbvh=True)
+    n_tris = scene.n_tris()
+
+    # primary rays
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    jit2 = rng.uniform2(pix, jnp.uint32(0), jnp.uint32(0))
+    ro_p, rd_p = camera_rays(cam, 1 << 10, R >> 10,
+                             pix.astype(jnp.int32), jit2)
+
+    closest = jax.jit(lambda ro, rd: closest_hit_wavefront(
+        scene.cw_nodes, scene.cw_tri_triple, ro, rd, jnp.float32(1e30)))
+    anyhit = jax.jit(lambda ro, rd, tm: any_hit_wavefront(
+        scene.cw_nodes, scene.cw_tri_triple, ro, rd, tm))
+
+    # bounce-like incoherent rays: cosine directions from primary hit points
+    h = closest(ro_p, rd_p)
+    p_hit = ro_p + rd_p * h.t[:, None]
+    u2 = rng.uniform2(pix, jnp.uint32(1), jnp.uint32(3))
+    from truetrace_tpu.core.math import sample_cosine_hemisphere, to_world
+    gn = jnp.stack([jnp.zeros(R), jnp.ones(R), jnp.zeros(R)], -1)
+    rd_b = to_world(gn, sample_cosine_hemisphere(u2))
+    ro_b = p_hit + gn * 1e-3
+    tm_b = jnp.full((R,), 25.0, jnp.float32)
+
+    # warmup / compile all three programs
+    jax.block_until_ready(closest(ro_b, rd_b).t)
+    jax.block_until_ready(anyhit(ro_b, rd_b, tm_b))
+
+    total_rays = 0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r1 = closest(ro_p, rd_p)
+        r2 = closest(ro_b, rd_b)
+        r3 = anyhit(ro_b, rd_b, tm_b)
+        total_rays += 3 * R
+    jax.block_until_ready((r1.t, r2.t, r3))
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(json.dumps({
+        "metric": "cwbvh_traversal_sponza_class",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "detail": {
+            "scene_tris": int(n_tris),
+            "rays_per_batch": R,
+            "mix": "1/3 primary closest, 1/3 bounce closest, 1/3 shadow any-hit",
+            "total_rays_M": round(total_rays / 1e6, 2),
+            "wall_s": round(dt, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

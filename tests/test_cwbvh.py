@@ -98,3 +98,34 @@ def test_bvh2_leaf_remap_consistent():
         assert not seen[s:s + c].any()
         seen[s:s + c] = True
     assert seen.all()
+
+
+def test_wavefront_matches_brute_force():
+    """Scatter-free wavefront traversal (kernels/cwbvh_wavefront.py) must
+    agree with brute force on closest and any-hit, including same-iteration
+    pop+push paths (deep trees)."""
+    from truetrace_tpu.kernels.cwbvh_wavefront import (
+        any_hit_wavefront, closest_hit_wavefront, pack_tri_triples)
+    _, cw, (p0f, e1f, e2f), _, _ = _build(2000, seed=7)
+    trip = jnp.asarray(pack_tri_triples(p0f, e1f, e2f))
+    nodes = jnp.asarray(cw.nodes)
+    r = np.random.default_rng(8)
+    R = 512
+    ro = jnp.asarray(r.uniform(-15, 15, size=(R, 3)).astype(np.float32))
+    rd = r.normal(size=(R, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    wf = closest_hit_wavefront(nodes, trip, ro, rd, jnp.float32(1e30))
+    bf = brute_force_closest(jnp.asarray(p0f), jnp.asarray(e1f),
+                             jnp.asarray(e2f), ro, rd, 1e30)
+    hm = np.asarray(wf.tri) >= 0
+    bm = np.asarray(bf.tri) >= 0
+    assert np.array_equal(hm, bm)
+    assert np.allclose(np.asarray(wf.t)[hm], np.asarray(bf.t)[bm],
+                       rtol=1e-4, atol=1e-4)
+    assert np.array_equal(np.asarray(wf.tri)[hm], np.asarray(bf.tri)[bm])
+
+    tmax = jnp.asarray(r.uniform(1.0, 30.0, R).astype(np.float32))
+    occ = np.asarray(any_hit_wavefront(nodes, trip, ro, rd, tmax))
+    ref_occ = np.asarray(bf.t) < np.asarray(tmax)
+    assert np.array_equal(occ, ref_occ)

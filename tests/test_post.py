@@ -1,0 +1,73 @@
+import jax.numpy as jnp
+import numpy as np
+
+from truetrace_tpu.post.pipeline import (
+    Accumulator, PostConfig, auto_exposure, bloom, postprocess, sharpen_cas,
+    taa, tonemap_aces, tonemap_agx, tonemap_reinhard)
+
+
+def _img(seed=0, h=32, w=32, scale=2.0):
+    r = np.random.default_rng(seed)
+    return jnp.asarray((r.uniform(size=(h, w, 3)) ** 2 * scale)
+                       .astype(np.float32))
+
+
+def test_accumulator_is_running_mean():
+    acc = Accumulator.create(8, 8)
+    frames = [_img(i, 8, 8) for i in range(5)]
+    for f in frames:
+        acc = acc.add(f)
+    mean = jnp.stack(frames).mean(axis=0)
+    np.testing.assert_allclose(np.asarray(acc.image), np.asarray(mean),
+                               rtol=1e-5, atol=1e-6)
+    assert float(acc.count) == 5.0
+    assert float(acc.reset().count) == 0.0
+
+
+def test_tonemaps_range_and_monotone():
+    x = jnp.linspace(0.0, 20.0, 256).reshape(-1, 1, 1).repeat(3, axis=-1)
+    for tm in (tonemap_aces, tonemap_reinhard, tonemap_agx):
+        y = np.asarray(tm(x))
+        assert np.isfinite(y).all()
+        assert y.min() >= -1e-5 and y.max() <= 1.0 + 1e-5
+    # reinhard strictly monotone
+    y = np.asarray(tonemap_reinhard(x))[:, 0, 0]
+    assert np.all(np.diff(y) > 0)
+
+
+def test_auto_exposure_normalizes():
+    img = _img(1) * 100.0
+    out = auto_exposure(img)
+    from truetrace_tpu.core.math import luminance
+    log_avg = float(jnp.exp(jnp.mean(jnp.log(jnp.maximum(
+        luminance(out), 1e-6)))))
+    assert abs(log_avg - 0.18) < 0.02
+
+
+def test_bloom_adds_energy_near_bright():
+    img = jnp.zeros((32, 32, 3), jnp.float32).at[16, 16].set(50.0)
+    out = np.asarray(bloom(img, strength=0.5))
+    assert out[14, 14].sum() > 0.0     # halo spread
+    assert out.sum() > float(img.sum()) * 0.99
+
+
+def test_taa_converges_and_clamps():
+    cur = _img(2)
+    hist = _img(3) * 10.0              # wild history gets clamped
+    out = np.asarray(taa(cur, hist, alpha=0.2))
+    assert np.isfinite(out).all()
+    # clamped to neighborhood: not far above local max
+    assert out.max() <= float(cur.max()) * 1.01
+
+
+def test_postprocess_chain():
+    img = _img(4, scale=5.0)
+    cfg = PostConfig(tonemap="aces", auto_expose=True, bloom_strength=0.1,
+                     sharpen=0.2)
+    out, hist = postprocess(img, cfg, history=None)
+    out = np.asarray(out)
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    out2, _ = postprocess(img, cfg, history=hist)
+    assert np.isfinite(np.asarray(out2)).all()

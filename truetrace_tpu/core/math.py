@@ -159,9 +159,12 @@ def rgbe_unpack(u):
 
 def power_heuristic(pdf_a, pdf_b):
     """Veach power heuristic (beta=2); reference RayTracingShader.compute
-    (`power_heuristic`)."""
-    a2 = pdf_a * pdf_a
-    return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-20)
+    (`power_heuristic`). pdfs are clamped so the ratio never becomes
+    inf/inf — NaNs here poison gradients through masked lanes (0*NaN)."""
+    a = jnp.clip(pdf_a, 0.0, 1e8)
+    b = jnp.clip(pdf_b, 0.0, 1e8)
+    a2 = a * a
+    return a2 / jnp.maximum(a2 + b * b, 1e-20)
 
 
 def balance_heuristic(pdf_a, pdf_b):

@@ -47,6 +47,8 @@ class RenderConfig:
     rr_start: int = struct.field(pytree_node=False, default=3)
     bsdf: str = struct.field(pytree_node=False, default="lambert")
     max_leaf: int = struct.field(pytree_node=False, default=4)
+    traversal: str = struct.field(pytree_node=False, default="bvh2")
+    light_sampling: str = struct.field(pytree_node=False, default="cdf")
 
 
 def gather_material(materials, mid):
@@ -95,12 +97,19 @@ class LightSample(NamedTuple):
     valid: jnp.ndarray    # [R] bool
 
 
-def sample_light_tris(scene: Scene, p, u_sel, u2) -> LightSample:
+def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
+                      use_tree: bool = False) -> LightSample:
     lt = scene.light_tris
     L = lt.tri_index.shape[0]
-    idx = jnp.clip(jnp.searchsorted(lt.cdf, u_sel), 0, L - 1)
+    if use_tree:
+        from truetrace_tpu.kernels.lighttree import sample_light_tree
+        idx, pmf, _ = sample_light_tree(
+            scene.lbvh_nodes, scene.lbvh_info, scene.lbvh_prim, p, sn, u_sel)
+        idx = jnp.clip(idx, 0, L - 1)
+    else:
+        idx = jnp.clip(jnp.searchsorted(lt.cdf, u_sel), 0, L - 1)
+        pmf = lt.pmf[idx]
     tid = lt.tri_index[idx]
-    pmf = lt.pmf[idx]
 
     p0 = scene.tri_p0[tid]
     e1 = scene.tri_e1[tid]
@@ -127,12 +136,18 @@ def sample_light_tris(scene: Scene, p, u_sel, u2) -> LightSample:
                        valid=valid)
 
 
-def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l):
+def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
+                 use_tree: bool = False):
     """Solid-angle pdf that NEE would have generated this emissive hit —
     used for the MIS weight on BSDF-sampled emissive hits (reference
     computes the same from the light BVH: RayTracingShader.compute:162-211)."""
     li = scene.light_tris.tri_to_light[tid]
-    pmf = scene.light_tris.pmf[jnp.maximum(li, 0)]
+    if use_tree:
+        from truetrace_tpu.kernels.lighttree import light_tree_pdf
+        pmf = light_tree_pdf(scene.lbvh_nodes, scene.lbvh_info,
+                             scene.lbvh_trail, li, p, sn_prev)
+    else:
+        pmf = scene.light_tris.pmf[jnp.maximum(li, 0)]
     e1 = scene.tri_e1[tid]
     e2 = scene.tri_e2[tid]
     area = 0.5 * jnp.linalg.norm(cross(e1, e2), axis=-1)
@@ -146,26 +161,62 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l):
 # the integrator
 # ---------------------------------------------------------------------------
 
-def _trace(scene: Scene, ro, rd, max_leaf: int) -> Hit:
+def _trace(scene: Scene, ro, rd, cfg: "RenderConfig") -> Hit:
+    if cfg.traversal == "wavefront":
+        from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
+        return closest_hit_wavefront(
+            scene.cw_nodes, scene.cw_tri_triple, ro, rd, T_MAX)
+    if cfg.traversal == "cwbvh":
+        from truetrace_tpu.kernels.cwbvh_ref import closest_hit_cwbvh
+        return closest_hit_cwbvh(
+            scene.cw_nodes, scene.tri_p0, scene.tri_e1, scene.tri_e2,
+            ro, rd, T_MAX)
     return closest_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
         scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, T_MAX,
-        max_leaf=max_leaf)
+        max_leaf=cfg.max_leaf)
 
 
-def _occluded(scene: Scene, ro, rd, t_max, max_leaf: int):
+def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
+    if cfg.traversal == "wavefront":
+        from truetrace_tpu.kernels.cwbvh_wavefront import any_hit_wavefront
+        return any_hit_wavefront(
+            scene.cw_nodes, scene.cw_tri_triple, ro, rd, t_max)
+    if cfg.traversal == "cwbvh":
+        from truetrace_tpu.kernels.cwbvh_ref import any_hit_cwbvh
+        return any_hit_cwbvh(
+            scene.cw_nodes, scene.tri_p0, scene.tri_e1, scene.tri_e2,
+            ro, rd, t_max)
     return any_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
         scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, t_max,
-        max_leaf=max_leaf)
+        max_leaf=cfg.max_leaf)
 
 
 def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
                   sample_id) -> jnp.ndarray:
-    """Trace one sample per pixel. Returns [H*W, 3] radiance."""
+    """Trace one sample per pixel of the full frame. [H*W,3] radiance."""
+    pixel = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
+    return render_sample_pixels(scene, cam, cfg, pixel, sample_id)
+
+
+def render_sample_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
+                         pixel, sample_id) -> jnp.ndarray:
+    """Trace one sample for an explicit flat-pixel-id batch (the unit the
+    tile-sharded distributed path maps over). Returns [R,3] radiance."""
+    radiance, _ = render_sample_with_stats(scene, cam, cfg, pixel, sample_id)
+    return radiance
+
+
+def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
+                             pixel, sample_id):
+    """Like render_sample_pixels but also returns ray-count stats
+    {n_trace, n_shadow} (the Mrays/s accounting the benchmarks use —
+    counterpart of the reference's BufferSizes counters,
+    IntersectionKernels.compute:79)."""
     W, H = cfg.width, cfg.height
-    R = W * H
-    pixel = jnp.arange(R, dtype=jnp.uint32)
+    pixel = pixel.astype(jnp.uint32)
+    R = pixel.shape[0]
     sid = jnp.asarray(sample_id, jnp.uint32)
     bsdf_sample, bsdf_eval = get_bsdf(cfg.bsdf)
 
@@ -176,10 +227,17 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
     throughput = jnp.ones((R, 3), jnp.float32)
     alive = jnp.ones((R,), bool)
     prev_pdf = jnp.zeros((R,), jnp.float32)   # 0 => previous bounce not MIS-able
+    prev_n = jnp.zeros((R, 3), jnp.float32)   # prev shading normal (tree pdf)
+    n_trace = jnp.zeros((), jnp.float32)
+    n_shadow = jnp.zeros((), jnp.float32)
+    use_tree = (cfg.light_sampling == "tree"
+                and scene.lbvh_nodes.shape[0] > 0)
 
     def bounce(b, state):
-        ro, rd, radiance, throughput, alive, prev_pdf = state
-        hit = _trace(scene, ro, rd, cfg.max_leaf)
+        (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
+         n_trace, n_shadow) = state
+        n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
+        hit = _trace(scene, ro, rd, cfg)
         hit_ok = (hit.tri >= 0) & alive
 
         # ---- miss: environment
@@ -206,12 +264,38 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
         mid = scene.tri_mat[tid]
         mat = gather_material(scene.materials, mid)
 
+        # ---- texture fetches (atlas; reference samples its packed atlas
+        # rects in kernel_shade, RayTracingShader.compute:630-649)
+        if scene.atlas_rects.shape[0] > 0:
+            from truetrace_tpu.scene.atlas import sample_atlas
+            uv0 = scene.tri_uv[tid]
+            uv = (uv0[:, 0] * w[..., None] + uv0[:, 1] * hit.u[..., None]
+                  + uv0[:, 2] * hit.v[..., None])
+            alb = sample_atlas(scene.atlas, scene.atlas_rects,
+                               mat.tex_albedo, uv)
+            mat = mat.replace(base_color=jnp.where(
+                (mat.tex_albedo >= 0)[..., None],
+                mat.base_color * alb[:, :3], mat.base_color))
+            rm = sample_atlas(scene.atlas, scene.atlas_rects,
+                              mat.tex_rough_metal, uv)
+            mat = mat.replace(
+                roughness=jnp.where(mat.tex_rough_metal >= 0,
+                                    mat.roughness * rm[:, 1], mat.roughness),
+                metallic=jnp.where(mat.tex_rough_metal >= 0,
+                                   mat.metallic * rm[:, 2], mat.metallic))
+            em = sample_atlas(scene.atlas, scene.atlas_rects,
+                              mat.tex_emission, uv)
+            mat = mat.replace(emission=jnp.where(
+                (mat.tex_emission >= 0)[..., None],
+                mat.emission * em[:, :3], mat.emission))
+
         # ---- emissive hit (MIS against NEE)
         emis = mat.emission
         is_emis = jnp.max(emis, axis=-1) > 0.0
         cos_l = -dot(rd, gn)  # gn already flipped; use front-ness for emission
         if cfg.use_nee:
-            l_pdf = light_pdf_sa(scene, tid, ro, p, jnp.maximum(cos_l, 1e-6))
+            l_pdf = light_pdf_sa(scene, tid, ro, p, jnp.maximum(cos_l, 1e-6),
+                                 sn_prev=prev_n, use_tree=use_tree)
             mis_w = jnp.where((b == 0) | (prev_pdf <= 0.0), 1.0,
                               power_heuristic(prev_pdf, l_pdf))
         else:
@@ -227,7 +311,8 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
                                  jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SELECT)))
             u_l2 = rng.uniform2(pixel, sid,
                                 jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SAMPLE)))
-            ls = sample_light_tris(scene, p, u_sel, u_l2)
+            ls = sample_light_tris(scene, p, u_sel, u_l2, sn=sn,
+                                   use_tree=use_tree)
             to_l = ls.pos - p
             dist = jnp.linalg.norm(to_l, axis=-1)
             wi_l = to_l / jnp.maximum(dist, 1e-12)[..., None]
@@ -236,8 +321,9 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
             cand = hit_ok & ls.valid & (cos_s > 0.0) & (ls.pdf_sa > 1e-12) \
                 & (jnp.max(f_l, axis=-1) > 0.0) & ~is_emis
             sro = p + gn * SHADOW_EPS
+            n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
             blocked = _occluded(scene, sro, wi_l,
-                                dist - 2.0 * SHADOW_EPS, cfg.max_leaf)
+                                dist - 2.0 * SHADOW_EPS, cfg)
             take = cand & ~blocked
             w_mis = power_heuristic(ls.pdf_sa, pdf_b)
             contrib = (throughput * f_l * ls.radiance
@@ -251,6 +337,13 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
         u_dir = rng.uniform2(pixel, sid,
                              jnp.uint32(rng.path_dim(b, rng.DIM_BSDF_SAMPLE)))
         wi, f, pdf, lobe = bsdf_sample(mat, sn, wo, u_lobe, u_dir)
+        # detached-sampling estimator: the sampled direction and its pdf are
+        # treated as constants in the backward pass; parameter gradients
+        # flow through f (and NEE/emission terms) only. This keeps gradients
+        # well-defined w.r.t. roughness etc. without differentiating the
+        # traversal (diff/ replays the same decisions).
+        wi = jax.lax.stop_gradient(wi)
+        pdf = jax.lax.stop_gradient(pdf)
         cos_i = jnp.abs(dot(wi, sn))
         ok = hit_ok & (pdf > 1e-9)
         new_tp = throughput * f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None]
@@ -271,11 +364,13 @@ def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
         rd = wi
         throughput = jnp.where(alive[..., None], new_tp, throughput)
         prev_pdf = jnp.where(alive, pdf, 0.0)
-        return ro, rd, radiance, throughput, alive, prev_pdf
+        return (ro, rd, radiance, throughput, alive, prev_pdf, sn,
+                n_trace, n_shadow)
 
-    state = (ro, rd, radiance, throughput, alive, prev_pdf)
+    state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
+             n_trace, n_shadow)
     state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
-    return state[2]
+    return state[2], {"n_trace": state[7], "n_shadow": state[8]}
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp"))

@@ -47,7 +47,7 @@ def _fresnel_dielectric(cos_i, eta):
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
     sin2_t = (1.0 - cos_i * cos_i) / jnp.maximum(eta * eta, 1e-12)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
     rp = (cos_t - eta * cos_i) / jnp.maximum(cos_t + eta * cos_i, 1e-12)
     f = 0.5 * (rs * rs + rp * rp)
@@ -120,9 +120,10 @@ def _sample_vndf(wo, ax, ay, u2):
 
 
 def _gtr1_d(hz, a):
+    hz = jnp.clip(hz, 0.0, 1.0)   # degenerate h (wi ~ -wo) can leave |h|>1
     a2 = a * a
-    t = 1.0 + (a2 - 1.0) * hz * hz
-    return (a2 - 1.0) / jnp.maximum(jnp.pi * jnp.log(a2) * t, 1e-12)
+    t = jnp.maximum(1.0 + (a2 - 1.0) * hz * hz, 1e-12)
+    return (a2 - 1.0) / (jnp.pi * jnp.log(a2) * t)
 
 
 def _g1_cc(w):
@@ -245,7 +246,8 @@ def _eval_transmission(mat, wo, wi, eta):
     denom2 = jnp.maximum(denom * denom, 1e-8)
     val = (1.0 - fr) * d * g2 * jnp.abs(hdoto * hdoti) \
         / jnp.maximum(jnp.abs(cos_o * cos_i) * denom2, 1e-8)
-    col = jnp.sqrt(jnp.clip(mat.base_color, 0.0, 1.0))
+    # lower clip keeps d(sqrt)/d(color) finite at black (NaN-safe backward)
+    col = jnp.sqrt(jnp.clip(mat.base_color, 1e-6, 1.0))
     f = jnp.where(trans[..., None], val[..., None] * col, 0.0)
     jac = eta * eta * jnp.abs(hdoti) / denom2
     pdf_h = d * g1o * jnp.abs(hdoto) / jnp.maximum(jnp.abs(cos_o), 1e-6)
@@ -260,13 +262,19 @@ def _eval_local(mat, wo, wi):
     p_diff, p_spec, p_cc, p_trans = lobe_probs(mat)
     eta = mat.ior  # frame flipped so wo is on the outside by convention
 
-    h_refl = normalize(wo + wi)
+    hsum = wo + wi
+    h_ok = dot(hsum, hsum) > 1e-12      # wi ~ -wo has no half-vector
+    h_refl = normalize(hsum)
     h_refl = h_refl * jnp.where(h_refl[..., 2:3] < 0.0, -1.0, 1.0)
 
     f_d, pdf_d = _eval_diffuse(mat, wo, wi, h_refl)
     f_s, pdf_s = _eval_specular(mat, wo, wi, h_refl)
     f_c, pdf_c = _eval_clearcoat(mat, wo, wi, h_refl)
     f_t, pdf_t = _eval_transmission(mat, wo, wi, eta)
+    f_s = jnp.where(h_ok[..., None], f_s, 0.0)
+    f_c = jnp.where(h_ok[..., None], f_c, 0.0)
+    pdf_s = jnp.where(h_ok, pdf_s, 0.0)
+    pdf_c = jnp.where(h_ok, pdf_c, 0.0)
 
     diel = (1.0 - mat.metallic) * (1.0 - mat.spec_trans)
     f = f_d * diel[..., None] + f_s + f_c + f_t

@@ -1,0 +1,203 @@
+"""Post-processing chain: accumulate → exposure → bloom → tonemap → TAA →
+sharpen.
+
+Counterpart of the reference's post stack (PostProcess/Denoiser.cs wrappers
+over Bloom/AutoExpose/ToneMap/TAA/Sharpen .compute kernels + the
+Accumulate.shader progressive blend, Utility/Accumulate.shader:40-44).
+On TPU every pass is a jitted image op; XLA fuses the chain into a couple
+of kernels — no ping-pong render targets needed.
+
+All functions take/return [H,W,3] float32 linear-radiance images.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from truetrace_tpu.core.math import luminance
+
+
+@struct.dataclass
+class PostConfig:
+    tonemap: str = struct.field(pytree_node=False, default="aces")
+    exposure: float = struct.field(pytree_node=False, default=1.0)
+    auto_expose: bool = struct.field(pytree_node=False, default=False)
+    bloom_strength: float = struct.field(pytree_node=False, default=0.0)
+    taa_alpha: float = struct.field(pytree_node=False, default=0.1)
+    sharpen: float = struct.field(pytree_node=False, default=0.0)
+    gamma: float = struct.field(pytree_node=False, default=2.2)
+
+
+# ---------------------------------------------------------------------------
+# progressive accumulation (reference: FramesSinceStart lerp weight,
+# RayTracingMaster.cs:1073-1079)
+# ---------------------------------------------------------------------------
+
+class Accumulator(NamedTuple):
+    image: jnp.ndarray   # running mean [H,W,3]
+    count: jnp.ndarray   # [] float32 samples so far
+
+    @staticmethod
+    def create(h: int, w: int) -> "Accumulator":
+        return Accumulator(image=jnp.zeros((h, w, 3), jnp.float32),
+                           count=jnp.zeros((), jnp.float32))
+
+    def add(self, frame: jnp.ndarray, weight: float = 1.0) -> "Accumulator":
+        n = self.count + weight
+        img = self.image + (frame - self.image) * (weight / jnp.maximum(n, 1e-9))
+        return Accumulator(image=img, count=n)
+
+    def reset(self) -> "Accumulator":
+        return Accumulator(image=jnp.zeros_like(self.image),
+                           count=jnp.zeros_like(self.count))
+
+
+# ---------------------------------------------------------------------------
+# tonemappers (reference ToneMap.compute LUT modes incl. AgX; here the
+# published analytic fits)
+# ---------------------------------------------------------------------------
+
+def tonemap_reinhard(x):
+    return x / (1.0 + x)
+
+
+def tonemap_aces(x):
+    """Narkowicz ACES filmic fit."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def tonemap_agx(x):
+    """AgX base (Benjamin Wrensch's minimal fit): log2 encoding + 6th-order
+    sigmoid polynomial approximation."""
+    m = jnp.asarray([[0.842479, 0.0784336, 0.0792237],
+                     [0.0423282, 0.878468, 0.0791661],
+                     [0.0423756, 0.0784336, 0.879142]], jnp.float32)
+    mi = jnp.linalg.inv(m)
+    v = jnp.einsum("ij,...j->...i", m, jnp.maximum(x, 1e-10))
+    lo, hi = -12.47393, 4.026069
+    v = (jnp.log2(v) - lo) / (hi - lo)
+    v = jnp.clip(v, 0.0, 1.0)
+    v2 = v * v
+    v4 = v2 * v2
+    s = (15.5 * v4 * v2 - 40.14 * v4 * v + 31.96 * v4 - 6.868 * v2 * v
+         + 0.4298 * v2 + 0.1191 * v - 0.00232)
+    return jnp.clip(jnp.einsum("ij,...j->...i", mi, s), 0.0, 1.0)
+
+
+_TONEMAPS = {"aces": tonemap_aces, "reinhard": tonemap_reinhard,
+             "agx": tonemap_agx, "none": lambda x: x}
+
+
+# ---------------------------------------------------------------------------
+# auto exposure (reference AutoExpose.compute histogram+adapt; here
+# log-average luminance keying)
+# ---------------------------------------------------------------------------
+
+def auto_exposure(img, key: float = 0.18):
+    log_avg = jnp.exp(jnp.mean(jnp.log(jnp.maximum(
+        luminance(img), 1e-6))))
+    return img * (key / jnp.maximum(log_avg, 1e-6))
+
+
+# ---------------------------------------------------------------------------
+# bloom (reference Bloom.compute down/up pyramid; here separable gaussian
+# pyramid with 3 octaves)
+# ---------------------------------------------------------------------------
+
+def _blur1d(img, axis, sigma_px: int):
+    radius = max(1, sigma_px)
+    offsets = jnp.arange(-radius, radius + 1)
+    w = jnp.exp(-0.5 * (offsets / max(sigma_px, 1)) ** 2)
+    w = w / jnp.sum(w)
+    out = jnp.zeros_like(img)
+    for k, o in enumerate(range(-radius, radius + 1)):
+        out = out + w[k] * jnp.roll(img, int(o), axis=axis)
+    return out
+
+
+def _downsample2(img):
+    h, w, _ = img.shape
+    return img[:h - h % 2, :w - w % 2].reshape(
+        h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+
+
+def _upsample_to(img, h, w):
+    fy = max(1, -(-h // img.shape[0]))
+    fx = max(1, -(-w // img.shape[1]))
+    up = jnp.repeat(jnp.repeat(img, fy, axis=0), fx, axis=1)
+    return up[:h, :w]
+
+
+def bloom(img, strength: float = 0.1, threshold: float = 1.0):
+    h, w, _ = img.shape
+    bright = jnp.maximum(img - threshold, 0.0)
+    acc = jnp.zeros_like(img)
+    level = bright
+    for _ in range(3):
+        if min(level.shape[0], level.shape[1]) < 4:
+            break
+        level = _downsample2(level)
+        blurred = _blur1d(_blur1d(level, 0, 2), 1, 2)
+        acc = acc + _upsample_to(blurred, h, w)
+        level = blurred
+    return img + strength * acc
+
+
+# ---------------------------------------------------------------------------
+# TAA (reference TAA.compute: history blend with neighborhood clamp)
+# ---------------------------------------------------------------------------
+
+def taa(cur, history, alpha: float = 0.1):
+    """Static-camera TAA: clamp history to the 3x3 neighborhood min/max of
+    the current frame, then exponential blend."""
+    shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+              (1, -1), (1, 0), (1, 1)]
+    nmin = cur
+    nmax = cur
+    for dy, dx in shifts:
+        n = jnp.roll(jnp.roll(cur, dy, axis=0), dx, axis=1)
+        nmin = jnp.minimum(nmin, n)
+        nmax = jnp.maximum(nmax, n)
+    hist = jnp.clip(history, nmin, nmax)
+    return hist + alpha * (cur - hist)
+
+
+# ---------------------------------------------------------------------------
+# sharpen (reference Sharpen.compute — AMD CAS-style)
+# ---------------------------------------------------------------------------
+
+def sharpen_cas(img, amount: float = 0.3):
+    cross = (jnp.roll(img, 1, 0) + jnp.roll(img, -1, 0)
+             + jnp.roll(img, 1, 1) + jnp.roll(img, -1, 1))
+    sharp = img * (1.0 + 4.0 * amount) - amount * cross
+    return jnp.clip(sharp, 0.0, jnp.maximum(img.max(), 1.0))
+
+
+# ---------------------------------------------------------------------------
+# full chain
+# ---------------------------------------------------------------------------
+
+def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None):
+    """Linear HDR [H,W,3] -> display [H,W,3] in [0,1] (+ new TAA history).
+
+    Order mirrors the reference's Render() tail
+    (RayTracingMaster.cs:1132-1182): autoexpose → bloom → tonemap → TAA →
+    sharpen → gamma."""
+    x = img * cfg.exposure
+    if cfg.auto_expose:
+        x = auto_exposure(x)
+    if cfg.bloom_strength > 0:
+        x = bloom(x, cfg.bloom_strength)
+    x = _TONEMAPS[cfg.tonemap](x)
+    new_history = x
+    if history is not None:
+        x = taa(x, history, cfg.taa_alpha)
+        new_history = x
+    if cfg.sharpen > 0:
+        x = sharpen_cas(x, cfg.sharpen)
+    x = jnp.clip(x, 0.0, 1.0) ** (1.0 / cfg.gamma)
+    return x, new_history

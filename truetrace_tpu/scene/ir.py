@@ -179,6 +179,12 @@ class Scene:
     # (CommonVars.cs:414-434) so a node fetch is one contiguous gather.
     cw_nodes: jnp.ndarray     # [C,20] uint32
     cw_tri_index: jnp.ndarray # [T] int32 CWBVH leaf order -> global tri id
+    cw_tri_triple: jnp.ndarray  # [T,36] f32 rows of 3 packed tris (one
+                                # gather covers a whole <=3-tri leaf)
+
+    # texture atlas (scene/atlas.py; empty = no textures)
+    atlas: jnp.ndarray        # [AH,AW,4] f32
+    atlas_rects: jnp.ndarray  # [NT,4] i32 (x,y,w,h)
 
     materials: MaterialTable
     mesh_table: Optional[MeshTable]
@@ -186,9 +192,11 @@ class Scene:
     lights: AnalyticLights
     env: EnvMap
 
-    # light BVH (PBRT-4; build/lightbvh.py), optional
-    lbvh_nodes: jnp.ndarray   # [LN,10] float32 rows (compact light-BVH node)
-    lbvh_prim: jnp.ndarray    # [L] int32 leaf order -> light-tri id
+    # light BVH (PBRT-4 SAOH; build/lightbvh.py), optional
+    lbvh_nodes: jnp.ndarray   # [LN,12] f32: min(3) max(3) axis(3) cos_o _ phi
+    lbvh_info: jnp.ndarray    # [LN,2] i32: leaf (first,count>0); internal (left,-right)
+    lbvh_prim: jnp.ndarray    # [L] i32 leaf slot -> light index
+    lbvh_trail: jnp.ndarray   # [L] u32 root->leaf bit trail per light index
 
     def n_tris(self) -> int:
         return self.tri_p0.shape[0]

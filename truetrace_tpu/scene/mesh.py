@@ -32,7 +32,9 @@ class HostMesh:
 
 @dataclass
 class HostMaterial:
-    """Host-side Disney material description (defaults = matte gray)."""
+    """Host-side Disney material description (defaults = matte gray).
+    tex_* fields are atlas texture ids from scene.atlas.AtlasBuilder.add
+    (-1 = untextured)."""
     base_color: tuple = (0.8, 0.8, 0.8)
     emission: tuple = (0.0, 0.0, 0.0)
     roughness: float = 0.5
@@ -50,12 +52,20 @@ class HostMaterial:
     diff_trans: float = 0.0
     thin: float = 0.0
     alpha: float = 1.0
+    tex_albedo: int = -1
+    tex_normal: int = -1
+    tex_emission: int = -1
+    tex_rough_metal: int = -1
 
 
 def material_table(mats: List[HostMaterial]) -> MaterialTable:
     def col(name):
         return jnp.asarray(np.array([getattr(m, name) for m in mats],
                                     np.float32))
+
+    def icol(name):
+        return jnp.asarray(np.array([getattr(m, name) for m in mats],
+                                    np.int32))
     n = len(mats)
     return MaterialTable(
         base_color=col("base_color"), emission=col("emission"),
@@ -66,10 +76,9 @@ def material_table(mats: List[HostMaterial]) -> MaterialTable:
         clearcoat=col("clearcoat"), clearcoat_gloss=col("clearcoat_gloss"),
         anisotropic=col("anisotropic"), subsurface=col("subsurface"),
         diff_trans=col("diff_trans"), thin=col("thin"), alpha=col("alpha"),
-        tex_albedo=jnp.full((n,), -1, jnp.int32),
-        tex_normal=jnp.full((n,), -1, jnp.int32),
-        tex_emission=jnp.full((n,), -1, jnp.int32),
-        tex_rough_metal=jnp.full((n,), -1, jnp.int32),
+        tex_albedo=icol("tex_albedo"), tex_normal=icol("tex_normal"),
+        tex_emission=icol("tex_emission"),
+        tex_rough_metal=icol("tex_rough_metal"),
     )
 
 
@@ -140,6 +149,8 @@ def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
 def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   env: Optional[EnvMap] = None,
                   lights: Optional[AnalyticLights] = None,
+                  atlas: Optional[np.ndarray] = None,
+                  atlas_rects: Optional[np.ndarray] = None,
                   max_leaf: int = 4, with_cwbvh: bool = False,
                   with_light_bvh: bool = False) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS)."""
@@ -168,21 +179,29 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         bvh.left[leaf] = cw.leaf_start[leaf]
         cw_nodes = jnp.asarray(cw.nodes)
         cw_tri_index = jnp.asarray(cw.tri_index)
+        from truetrace_tpu.kernels.cwbvh_wavefront import pack_tri_triples
+        cw_tri_triple = jnp.asarray(pack_tri_triples(
+            tris["p0"], tris["e1"], tris["e2"]))
     else:
         cw_nodes = jnp.zeros((0, 20), jnp.uint32)
         cw_tri_index = jnp.zeros((0,), jnp.int32)
+        cw_tri_triple = jnp.zeros((0, 36), jnp.float32)
 
     light_tris = _emissive_light_tris(tris, mats)
 
     lbvh_nodes = jnp.zeros((0, 12), jnp.float32)
+    lbvh_info = jnp.zeros((0, 2), jnp.int32)
     lbvh_prim = jnp.zeros((0,), jnp.int32)
+    lbvh_trail = jnp.zeros((0,), jnp.uint32)
     if with_light_bvh and int(light_tris.tri_index.shape[0]) > 1:
         from truetrace_tpu.build.lightbvh import build_light_bvh
         lb = build_light_bvh(
             tris, np.asarray(light_tris.tri_index),
             np.asarray(light_tris.power))
         lbvh_nodes = jnp.asarray(lb.nodes)
+        lbvh_info = jnp.asarray(lb.info)
         lbvh_prim = jnp.asarray(lb.prim)
+        lbvh_trail = jnp.asarray(lb.trail)
 
     return Scene(
         tri_p0=jnp.asarray(tris["p0"]), tri_e1=jnp.asarray(tris["e1"]),
@@ -191,9 +210,15 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         bvh2_box=jnp.asarray(bvh.box), bvh2_left=jnp.asarray(bvh.left),
         bvh2_count=jnp.asarray(bvh.count),
         cw_nodes=cw_nodes, cw_tri_index=cw_tri_index,
+        cw_tri_triple=cw_tri_triple,
+        atlas=jnp.asarray(atlas, jnp.float32) if atlas is not None
+        else jnp.zeros((1, 1, 4), jnp.float32),
+        atlas_rects=jnp.asarray(atlas_rects, jnp.int32)
+        if atlas_rects is not None else jnp.zeros((0, 4), jnp.int32),
         materials=material_table(mats), mesh_table=None,
         light_tris=light_tris,
         lights=lights if lights is not None else AnalyticLights.none(),
         env=env if env is not None else EnvMap.constant((0.0, 0.0, 0.0)),
-        lbvh_nodes=lbvh_nodes, lbvh_prim=lbvh_prim,
+        lbvh_nodes=lbvh_nodes, lbvh_info=lbvh_info, lbvh_prim=lbvh_prim,
+        lbvh_trail=lbvh_trail,
     )

@@ -1,0 +1,160 @@
+"""Wavefront OBJ/MTL loader -> HostMesh + HostMaterial list.
+
+The reference ingests geometry through Unity's asset pipeline
+(ParentObject.LoadData, Objects/ParentObject.cs:452-635); a standalone
+framework needs its own loader. OBJ covers the classic benchmark scenes
+(Sponza, San Miguel, Cornell variants). numpy-vectorized parsing: the
+file is split into typed line groups with `str` ops, no per-line Python
+loop over faces.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from truetrace_tpu.scene.mesh import HostMaterial, HostMesh
+
+
+def _parse_mtl(path: str) -> Dict[str, HostMaterial]:
+    mats: Dict[str, HostMaterial] = {}
+    if not os.path.exists(path):
+        return mats
+    cur: Optional[dict] = None
+    name = None
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            t = line.strip().split()
+            if not t:
+                continue
+            if t[0] == "newmtl":
+                if name is not None:
+                    mats[name] = HostMaterial(**cur)
+                name = t[1] if len(t) > 1 else f"mat{len(mats)}"
+                cur = {}
+            elif cur is None:
+                continue
+            elif t[0] == "Kd" and len(t) >= 4:
+                cur["base_color"] = tuple(float(x) for x in t[1:4])
+            elif t[0] == "Ke" and len(t) >= 4:
+                ke = tuple(float(x) for x in t[1:4])
+                if max(ke) > 0:
+                    cur["emission"] = ke
+            elif t[0] == "Ns" and len(t) >= 2:
+                # Phong exponent -> roughness (Blinn-Phong to GGX heuristic)
+                ns = float(t[1])
+                cur["roughness"] = float(np.clip(
+                    np.sqrt(2.0 / (ns + 2.0)) ** 0.5, 0.03, 1.0))
+            elif t[0] == "Ni" and len(t) >= 2:
+                cur["ior"] = float(t[1])
+            elif t[0] == "d" and len(t) >= 2:
+                cur["alpha"] = float(t[1])
+            elif t[0] == "Pm" and len(t) >= 2:   # PBR extension
+                cur["metallic"] = float(t[1])
+            elif t[0] == "Pr" and len(t) >= 2:
+                cur["roughness"] = float(t[1])
+    if name is not None:
+        mats[name] = HostMaterial(**cur)
+    return mats
+
+
+def load_obj(path: str, scale: float = 1.0
+             ) -> Tuple[List[HostMesh], List[HostMaterial]]:
+    """Load an OBJ (+ its MTL) into a single HostMesh with per-face
+    material ids. Supports v/vn/vt, usemtl groups, tri + quad + n-gon faces
+    (fan triangulated), and negative indices."""
+    with open(path, "r", errors="replace") as f:
+        lines = f.read().splitlines()
+
+    v_rows, vn_rows, vt_rows = [], [], []
+    face_rows: List[Tuple[str, int]] = []   # (face line, mat id)
+    mtl_files: List[str] = []
+    mat_names: List[str] = []
+    cur_mat = 0
+
+    for line in lines:
+        if line.startswith("v "):
+            v_rows.append(line[2:])
+        elif line.startswith("vn "):
+            vn_rows.append(line[3:])
+        elif line.startswith("vt "):
+            vt_rows.append(line[3:])
+        elif line.startswith("f "):
+            face_rows.append((line[2:], cur_mat))
+        elif line.startswith("usemtl"):
+            nm = line.split(None, 1)[1].strip() if " " in line else ""
+            if nm not in mat_names:
+                mat_names.append(nm)
+            cur_mat = mat_names.index(nm)
+        elif line.startswith("mtllib"):
+            mtl_files.append(line.split(None, 1)[1].strip())
+
+    pos = np.array([r.split()[:3] for r in v_rows], np.float32) * scale
+    nrm = (np.array([r.split()[:3] for r in vn_rows], np.float32)
+           if vn_rows else None)
+    uv = (np.array([r.split()[:2] for r in vt_rows], np.float32)
+          if vt_rows else None)
+
+    # triangulate faces; build corner index triples (v, vt, vn)
+    tri_v, tri_vt, tri_vn, tri_m = [], [], [], []
+    for face, m in face_rows:
+        corners = face.split()
+        idx = []
+        for c in corners:
+            parts = c.split("/")
+            vi = int(parts[0])
+            ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+            ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+            idx.append((vi, ti, ni))
+        for k in range(1, len(idx) - 1):      # fan
+            for (vi, ti, ni) in (idx[0], idx[k], idx[k + 1]):
+                tri_v.append(vi)
+                tri_vt.append(ti)
+                tri_vn.append(ni)
+            tri_m.append(m)
+
+    def fix(ids, n):
+        a = np.asarray(ids, np.int64)
+        return np.where(a > 0, a - 1, np.where(a < 0, n + a, 0))
+
+    vi = fix(tri_v, len(v_rows)).reshape(-1, 3)
+    F = vi.shape[0]
+
+    # build a unified vertex stream per corner (positions mandatory)
+    positions = pos
+    indices = vi.astype(np.int32)
+    normals = None
+    uvs = None
+    if nrm is not None and any(tri_vn):
+        # per-corner normals -> expand to unique corner vertices
+        ni = fix(tri_vn, len(vn_rows)).reshape(-1, 3)
+        ti = (fix(tri_vt, len(vt_rows)).reshape(-1, 3)
+              if uv is not None and any(tri_vt) else np.zeros_like(vi))
+        key = vi * (len(vn_rows) + 1) * (len(vt_rows) + 1) \
+            + ni * (len(vt_rows) + 1) + ti
+        uniq, inv = np.unique(key.reshape(-1), return_inverse=True)
+        first = np.zeros(uniq.shape[0], np.int64)
+        first[inv[::-1]] = np.arange(3 * F - 1, -1, -1)
+        positions = pos[vi.reshape(-1)[first]]
+        normals = nrm[ni.reshape(-1)[first]]
+        if uv is not None and any(tri_vt):
+            uvs = uv[ti.reshape(-1)[first]]
+        indices = inv.reshape(-1, 3).astype(np.int32)
+
+    # materials
+    base = os.path.dirname(os.path.abspath(path))
+    mtl: Dict[str, HostMaterial] = {}
+    for mf in mtl_files:
+        mtl.update(_parse_mtl(os.path.join(base, mf)))
+    mats = [mtl.get(nm, HostMaterial()) for nm in mat_names] \
+        or [HostMaterial()]
+    mat_id = np.asarray(tri_m, np.int32) if tri_m else \
+        np.zeros(F, np.int32)
+
+    mesh = HostMesh(positions=positions.astype(np.float32),
+                    indices=indices, mat_id=mat_id,
+                    normals=None if normals is None
+                    else normals.astype(np.float32),
+                    uvs=None if uvs is None else uvs.astype(np.float32))
+    return [mesh], mats
