@@ -1,0 +1,75 @@
+"""Environment-map importance sampling: CDF build, sample/pdf consistency."""
+import jax.numpy as jnp
+import numpy as np
+
+from truetrace_tpu.build.env_cdf import build_env_cdf, procedural_sky
+from truetrace_tpu.core import rng
+from truetrace_tpu.kernels.envmap import env_eval, env_pdf, env_sample
+
+
+def _env(seed=0, h=32, w=64):
+    r = np.random.default_rng(seed)
+    img = (r.uniform(size=(h, w, 3)) ** 3 * 5).astype(np.float32)
+    img[h // 4, w // 3] = 200.0        # hot texel
+    return build_env_cdf(img)
+
+
+def test_total_matches_integral():
+    env = _env()
+    img = np.asarray(env.image)
+    h, w = img.shape[:2]
+    lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+    sin_t = np.sin(np.pi * (np.arange(h) + 0.5) / h)
+    ref = (lum * sin_t[:, None]).sum() * (np.pi / h) * (2 * np.pi / w)
+    assert np.isclose(float(env.total), ref, rtol=1e-5)
+
+
+def test_sample_pdf_consistency():
+    """E[1/pdf] over importance samples = total solid angle covered by
+    nonzero texels; and MC estimate of integral(L) via sampling matches the
+    direct sum."""
+    env = _env(1)
+    R = 1 << 17
+    u = rng.uniform2(jnp.arange(R, dtype=jnp.uint32), jnp.uint32(0),
+                     jnp.uint32(0))
+    d, pdf, rad = env_sample(env, u)
+    # directions are unit
+    assert np.allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                       atol=1e-5)
+    # pdf at the sampled direction must match env_pdf(d)
+    pdf2 = np.asarray(env_pdf(env, d))
+    np.testing.assert_allclose(np.asarray(pdf), pdf2, rtol=1e-4)
+    # integral of luminance via importance sampling == env.total
+    lum = np.asarray(0.2126 * rad[..., 0] + 0.7152 * rad[..., 1]
+                     + 0.0722 * rad[..., 2])
+    est = float(np.mean(lum / np.maximum(np.asarray(pdf), 1e-12)))
+    assert np.isclose(est, float(env.total), rtol=0.02), (est, float(env.total))
+
+
+def test_eval_matches_sampled_radiance():
+    env = _env(2)
+    R = 4096
+    u = rng.uniform2(jnp.arange(R, dtype=jnp.uint32), jnp.uint32(1),
+                     jnp.uint32(1))
+    d, _, rad = env_sample(env, u)
+    rad2 = env_eval(env, d)
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(rad2), rtol=1e-4)
+
+
+def test_hot_texel_gets_sampled():
+    env = _env(3)
+    R = 1 << 15
+    u = rng.uniform2(jnp.arange(R, dtype=jnp.uint32), jnp.uint32(2),
+                     jnp.uint32(2))
+    _, _, rad = env_sample(env, u)
+    frac_hot = float((np.asarray(rad).max(axis=-1) > 100.0).mean())
+    # analytic share of the hot texel in the luminance integral ~ 8%
+    assert frac_hot > 0.05
+
+
+def test_procedural_sky_shape():
+    img = procedural_sky(h=64, w=128)
+    assert img.shape == (64, 128, 3)
+    assert np.isfinite(img).all() and img.min() >= 0
+    env = build_env_cdf(img)
+    assert float(env.total) > 0

@@ -1,0 +1,79 @@
+"""SVGF denoiser: noise reduction, edge preservation, temporal behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from truetrace_tpu.post.svgf import SVGFState, svgf_denoise
+
+
+def _synthetic(seed=0, h=48, w=48, noise=0.3):
+    """Two flat regions with different albedo/depth + noisy irradiance."""
+    r = np.random.default_rng(seed)
+    albedo = np.full((h, w, 3), 0.6, np.float32)
+    albedo[:, w // 2:] = 0.3
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[..., 2] = 1.0
+    normal[:, w // 2:, 2] = 0.0
+    normal[:, w // 2:, 0] = 1.0
+    depth = np.full((h, w), 2.0, np.float32)
+    depth[:, w // 2:] = 5.0
+    clean_irr = np.full((h, w, 3), 1.0, np.float32)
+    clean_irr[:, w // 2:] = 0.2
+    noisy_irr = clean_irr * (1.0 + noise * r.normal(size=(h, w, 3))
+                             ).astype(np.float32)
+    noisy_irr = np.maximum(noisy_irr, 0.0)
+    return (jnp.asarray(noisy_irr * albedo), jnp.asarray(albedo),
+            jnp.asarray(normal), jnp.asarray(depth),
+            jnp.asarray(clean_irr * albedo))
+
+
+def test_noise_reduced_single_frame():
+    noisy, albedo, normal, depth, clean = _synthetic()
+    state = SVGFState.create(48, 48)
+    out, _ = svgf_denoise(noisy, albedo, normal, depth, state)
+    out = np.asarray(out)
+    err_in = np.mean((np.asarray(noisy) - np.asarray(clean)) ** 2)
+    err_out = np.mean((out[4:-4, 4:-4] - np.asarray(clean)[4:-4, 4:-4]) ** 2)
+    assert np.isfinite(out).all()
+    assert err_out < err_in * 0.2, (err_in, err_out)
+
+
+def test_edge_preserved():
+    """The albedo/normal/depth edge at w/2 must survive filtering."""
+    noisy, albedo, normal, depth, clean = _synthetic(noise=0.2)
+    state = SVGFState.create(48, 48)
+    out, _ = svgf_denoise(noisy, albedo, normal, depth, state)
+    out = np.asarray(out)
+    left = out[:, :20].mean()
+    right = out[:, 28:].mean()
+    clean_np = np.asarray(clean)
+    assert abs(left - clean_np[:, :20].mean()) < 0.15
+    assert abs(right - clean_np[:, 28:].mean()) < 0.05
+    assert left > right * 3  # edge contrast retained
+
+
+def test_temporal_accumulation_improves():
+    """Feeding several frames must beat the single-frame result."""
+    state = SVGFState.create(48, 48)
+    _, albedo, normal, depth, clean = _synthetic()
+    outs = []
+    for i in range(6):
+        noisy, *_ = _synthetic(seed=10 + i)
+        out, state = svgf_denoise(noisy, albedo, normal, depth, state)
+        outs.append(np.asarray(out))
+    err_first = np.mean((outs[0][4:-4, 4:-4]
+                         - np.asarray(clean)[4:-4, 4:-4]) ** 2)
+    err_last = np.mean((outs[-1][4:-4, 4:-4]
+                        - np.asarray(clean)[4:-4, 4:-4]) ** 2)
+    assert err_last < err_first
+    # history length grew
+    assert float(state.hist_len.max()) >= 5.0
+
+
+def test_history_rejected_on_geometry_change():
+    state = SVGFState.create(48, 48)
+    noisy, albedo, normal, depth, _ = _synthetic()
+    _, state = svgf_denoise(noisy, albedo, normal, depth, state)
+    # flip normals: history must be invalidated
+    _, state2 = svgf_denoise(noisy, albedo, -normal, depth, state)
+    assert float(state2.hist_len.max()) == 1.0

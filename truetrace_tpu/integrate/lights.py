@@ -1,0 +1,111 @@
+"""Analytic light sampling: point / directional / spot / quad / disk.
+
+Counterpart of the reference's Unity-light NEE path (`SelectUnityLight`,
+CommonData.cginc:1806; LightData layout RayTracingLights.cs). Delta lights
+(point/dir/spot) return `is_delta=True` — no BSDF-side MIS counterpart.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from truetrace_tpu.core.math import dot, normalize, onb
+from truetrace_tpu.scene.ir import AnalyticLights
+
+LIGHT_POINT, LIGHT_DIR, LIGHT_SPOT, LIGHT_QUAD, LIGHT_DISK = range(5)
+
+
+class AnalyticSample(NamedTuple):
+    wi: jnp.ndarray        # [R,3]
+    dist: jnp.ndarray      # [R] distance to light (1e30 for directional)
+    radiance: jnp.ndarray  # [R,3] incident radiance / (delta: intensity/d^2)
+    pdf_sa: jnp.ndarray    # [R] solid-angle pdf (1 for delta lights)
+    pmf: jnp.ndarray       # [R] light-selection probability
+    is_delta: jnp.ndarray  # [R] bool
+    valid: jnp.ndarray     # [R] bool
+
+
+def sample_analytic(lights: AnalyticLights, p, u_sel, u2) -> AnalyticSample:
+    """Uniformly select one analytic light and sample it from point p."""
+    K = lights.position.shape[0]
+    R = p.shape[0]
+    if K == 0:
+        z = jnp.zeros((R,), jnp.float32)
+        return AnalyticSample(wi=jnp.zeros((R, 3)), dist=z, radiance=jnp.zeros((R, 3)),
+                              pdf_sa=z, pmf=z, is_delta=jnp.zeros((R,), bool),
+                              valid=jnp.zeros((R,), bool))
+    idx = jnp.clip((u_sel * K).astype(jnp.int32), 0, K - 1)
+    pmf = jnp.full((R,), 1.0 / K, jnp.float32)
+    lt = lights.ltype[idx]
+    lpos = lights.position[idx]
+    ldir = normalize(lights.direction[idx])
+    lrad = lights.radiance[idx]
+    ext = lights.extent[idx]
+
+    # --- point / spot: direction to position, inverse-square falloff
+    to_l = lpos - p
+    d2 = jnp.maximum(dot(to_l, to_l), 1e-8)
+    dist_p = jnp.sqrt(d2)
+    wi_p = to_l / dist_p[..., None]
+    rad_point = lrad / d2[..., None]
+    # spot cone falloff
+    cos_spot = -dot(wi_p, ldir)
+    inner = lights.spot_cos[idx, 0]
+    outer = lights.spot_cos[idx, 1]
+    spot_w = jnp.clip((cos_spot - outer)
+                      / jnp.maximum(inner - outer, 1e-6), 0.0, 1.0)
+    rad_spot = rad_point * (spot_w * spot_w)[..., None]
+
+    # --- directional: constant direction, "infinite" distance
+    wi_d = -ldir
+    dist_d = jnp.full((R,), 1e30, jnp.float32)
+
+    # --- quad area light: sample the rectangle (center lpos, axes from ldir)
+    t_ax, b_ax = onb(ldir)
+    off = ((u2[..., 0:1] - 0.5) * 2.0 * ext[:, 0:1] * t_ax
+           + (u2[..., 1:2] - 0.5) * 2.0 * ext[:, 1:2] * b_ax)
+    qpos = lpos + off
+    to_q = qpos - p
+    d2q = jnp.maximum(dot(to_q, to_q), 1e-8)
+    dist_q = jnp.sqrt(d2q)
+    wi_q = to_q / dist_q[..., None]
+    cos_q = -dot(wi_q, ldir)
+    area_q = jnp.maximum(4.0 * ext[:, 0] * ext[:, 1], 1e-8)
+    pdf_q = d2q / jnp.maximum(cos_q * area_q, 1e-8)
+
+    # --- disk area light: radius ext[:,0]
+    r_d = jnp.sqrt(u2[..., 0]) * ext[:, 0]
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    dpos = lpos + (r_d * jnp.cos(phi))[..., None] * t_ax \
+        + (r_d * jnp.sin(phi))[..., None] * b_ax
+    to_dk = dpos - p
+    d2d = jnp.maximum(dot(to_dk, to_dk), 1e-8)
+    dist_dk = jnp.sqrt(d2d)
+    wi_dk = to_dk / dist_dk[..., None]
+    cos_dk = -dot(wi_dk, ldir)
+    area_d = jnp.maximum(jnp.pi * ext[:, 0] * ext[:, 0], 1e-8)
+    pdf_d = d2d / jnp.maximum(cos_dk * area_d, 1e-8)
+
+    is_quad = lt == LIGHT_QUAD
+    is_disk = lt == LIGHT_DISK
+    is_dir = lt == LIGHT_DIR
+    is_spot = lt == LIGHT_SPOT
+    is_area = is_quad | is_disk
+    wi = jnp.where(is_dir[..., None], wi_d,
+         jnp.where(is_quad[..., None], wi_q,
+         jnp.where(is_disk[..., None], wi_dk, wi_p)))
+    dist = jnp.where(is_dir, dist_d,
+           jnp.where(is_quad, dist_q,
+           jnp.where(is_disk, dist_dk, dist_p)))
+    radiance = jnp.where(is_dir[..., None], lrad,
+               jnp.where(is_spot[..., None], rad_spot,
+               jnp.where(is_area[..., None], lrad, rad_point)))
+    pdf_sa = jnp.where(is_quad, pdf_q,
+             jnp.where(is_disk, pdf_d, 1.0))
+    valid = jnp.where(is_quad, cos_q > 1e-6,
+            jnp.where(is_disk, cos_dk > 1e-6,
+            jnp.where(is_spot, spot_w > 0.0, jnp.ones((R,), bool))))
+    return AnalyticSample(wi=wi, dist=dist, radiance=radiance,
+                          pdf_sa=jnp.maximum(pdf_sa, 1e-12), pmf=pmf,
+                          is_delta=~is_area, valid=valid)

@@ -226,6 +226,11 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
     alive = jnp.ones((R,), bool)
+    # G-buffer capture at the primary hit (feeds the denoisers — the
+    # reference's _PrimaryTriangleInfo / DepthCopyKernel path)
+    g_albedo = jnp.ones((R, 3), jnp.float32)
+    g_normal = jnp.zeros((R, 3), jnp.float32)
+    g_depth = jnp.zeros((R,), jnp.float32)
     prev_pdf = jnp.zeros((R,), jnp.float32)   # 0 => previous bounce not MIS-able
     prev_n = jnp.zeros((R, 3), jnp.float32)   # prev shading normal (tree pdf)
     n_trace = jnp.zeros((), jnp.float32)
@@ -233,15 +238,35 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     use_tree = (cfg.light_sampling == "tree"
                 and scene.lbvh_nodes.shape[0] > 0)
 
+    # NEE strategy mix (reference picks a light group per shade:
+    # RayTracingShader.compute:328-344): mesh emitters / env map / analytic
+    has_mesh = scene.light_tris.tri_index.shape[0] > 0
+    has_env_tex = scene.env.image.shape[0] > 1
+    has_analytic = scene.lights.position.shape[0] > 0
+    n_groups = (int(has_mesh) + int(has_env_tex and cfg.use_nee)
+                + int(has_analytic)) if cfg.use_nee else 0
+    p_group = 1.0 / n_groups if n_groups else 1.0
+
     def bounce(b, state):
         (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
-         n_trace, n_shadow) = state
+         g_albedo, g_normal, g_depth, n_trace, n_shadow) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         hit = _trace(scene, ro, rd, cfg)
         hit_ok = (hit.tri >= 0) & alive
 
-        # ---- miss: environment
-        env_rgb = scene.env.image[0, 0] * scene.env.intensity
+        # ---- miss: environment (MIS against env NEE when it is active)
+        if has_env_tex:
+            from truetrace_tpu.kernels.envmap import env_eval, env_pdf
+            env_rgb = env_eval(scene.env, rd)
+            if cfg.use_nee:
+                e_pdf = env_pdf(scene.env, rd) * p_group
+                w_env = jnp.where((b == 0) | (prev_pdf <= 0.0), 1.0,
+                                  power_heuristic(prev_pdf, e_pdf))
+            else:
+                w_env = jnp.ones((R,), jnp.float32)
+            env_rgb = env_rgb * w_env[..., None]
+        else:
+            env_rgb = scene.env.image[0, 0] * scene.env.intensity
         radiance = radiance + jnp.where(
             (alive & ~(hit.tri >= 0))[..., None],
             throughput * env_rgb, 0.0)
@@ -289,13 +314,20 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
                 (mat.tex_emission >= 0)[..., None],
                 mat.emission * em[:, :3], mat.emission))
 
+        # ---- primary-hit G-buffer
+        first = (b == 0)
+        g_albedo = jnp.where(first & hit_ok[..., None], mat.base_color,
+                             g_albedo)
+        g_normal = jnp.where(first & hit_ok[..., None], sn, g_normal)
+        g_depth = jnp.where(first & hit_ok, hit.t, g_depth)
+
         # ---- emissive hit (MIS against NEE)
         emis = mat.emission
         is_emis = jnp.max(emis, axis=-1) > 0.0
         cos_l = -dot(rd, gn)  # gn already flipped; use front-ness for emission
-        if cfg.use_nee:
+        if cfg.use_nee and has_mesh:
             l_pdf = light_pdf_sa(scene, tid, ro, p, jnp.maximum(cos_l, 1e-6),
-                                 sn_prev=prev_n, use_tree=use_tree)
+                                 sn_prev=prev_n, use_tree=use_tree) * p_group
             mis_w = jnp.where((b == 0) | (prev_pdf <= 0.0), 1.0,
                               power_heuristic(prev_pdf, l_pdf))
         else:
@@ -304,30 +336,77 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
         radiance = radiance + jnp.where(
             emit_take[..., None], throughput * emis * mis_w[..., None], 0.0)
 
-        # ---- NEE
+        # ---- NEE: pick one strategy {mesh, env, analytic} per lane
         wo = -rd
-        if cfg.use_nee and scene.light_tris.tri_index.shape[0] > 0:
+        if n_groups > 0:
             u_sel = rng.uniform1(pixel, sid,
                                  jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SELECT)))
             u_l2 = rng.uniform2(pixel, sid,
                                 jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SAMPLE)))
-            ls = sample_light_tris(scene, p, u_sel, u_l2, sn=sn,
-                                   use_tree=use_tree)
-            to_l = ls.pos - p
-            dist = jnp.linalg.norm(to_l, axis=-1)
-            wi_l = to_l / jnp.maximum(dist, 1e-12)[..., None]
+            g_pick = jnp.clip((u_sel * n_groups).astype(jnp.int32),
+                              0, n_groups - 1)
+            u_resc = jnp.clip(u_sel * n_groups - g_pick.astype(jnp.float32),
+                              0.0, 1.0 - 1e-7)
+
+            # strategy results, selected lane-wise
+            wi_l = jnp.zeros((R, 3), jnp.float32)
+            dist_l = jnp.zeros((R,), jnp.float32)
+            rad_l = jnp.zeros((R, 3), jnp.float32)
+            pdf_l = jnp.zeros((R,), jnp.float32)    # solid-angle pdf * p_group
+            delta_l = jnp.zeros((R,), bool)
+            valid_l = jnp.zeros((R,), bool)
+            gi = 0
+            if has_mesh:
+                ls = sample_light_tris(scene, p, u_resc, u_l2, sn=sn,
+                                       use_tree=use_tree)
+                to_l = ls.pos - p
+                d_m = jnp.linalg.norm(to_l, axis=-1)
+                sel = g_pick == gi
+                wi_l = jnp.where(sel[..., None],
+                                 to_l / jnp.maximum(d_m, 1e-12)[..., None],
+                                 wi_l)
+                dist_l = jnp.where(sel, d_m, dist_l)
+                rad_l = jnp.where(sel[..., None], ls.radiance, rad_l)
+                pdf_l = jnp.where(sel, ls.pdf_sa * p_group, pdf_l)
+                valid_l = jnp.where(sel, ls.valid, valid_l)
+                gi += 1
+            if has_env_tex:
+                from truetrace_tpu.kernels.envmap import env_sample
+                d_env, p_env, r_env = env_sample(scene.env, u_l2)
+                sel = g_pick == gi
+                wi_l = jnp.where(sel[..., None], d_env, wi_l)
+                dist_l = jnp.where(sel, jnp.float32(1e30), dist_l)
+                rad_l = jnp.where(sel[..., None], r_env, rad_l)
+                pdf_l = jnp.where(sel, p_env * p_group, pdf_l)
+                valid_l = jnp.where(sel, p_env > 1e-12, valid_l)
+                gi += 1
+            if has_analytic:
+                from truetrace_tpu.integrate.lights import sample_analytic
+                al = sample_analytic(scene.lights, p, u_resc, u_l2)
+                sel = g_pick == gi
+                wi_l = jnp.where(sel[..., None], al.wi, wi_l)
+                dist_l = jnp.where(sel, al.dist, dist_l)
+                # delta lights: fold selection pmf into radiance (pdf_sa=1)
+                rad_l = jnp.where(sel[..., None],
+                                  al.radiance / al.pmf[..., None], rad_l)
+                pdf_l = jnp.where(sel, al.pdf_sa * p_group, pdf_l)
+                delta_l = jnp.where(sel, al.is_delta, delta_l)
+                valid_l = jnp.where(sel, al.valid, valid_l)
+                gi += 1
+
             f_l, pdf_b = bsdf_eval(mat, sn, wo, wi_l)
             cos_s = jnp.maximum(dot(wi_l, sn), 0.0)
-            cand = hit_ok & ls.valid & (cos_s > 0.0) & (ls.pdf_sa > 1e-12) \
+            cand = hit_ok & valid_l & (cos_s > 0.0) & (pdf_l > 1e-12) \
                 & (jnp.max(f_l, axis=-1) > 0.0) & ~is_emis
             sro = p + gn * SHADOW_EPS
             n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
             blocked = _occluded(scene, sro, wi_l,
-                                dist - 2.0 * SHADOW_EPS, cfg)
+                                dist_l - 2.0 * SHADOW_EPS, cfg)
             take = cand & ~blocked
-            w_mis = power_heuristic(ls.pdf_sa, pdf_b)
-            contrib = (throughput * f_l * ls.radiance
-                       * (cos_s * w_mis / jnp.maximum(ls.pdf_sa, 1e-12))[..., None])
+            w_mis = jnp.where(delta_l, 1.0, power_heuristic(pdf_l, pdf_b))
+            contrib = (throughput * f_l * rad_l
+                       * (cos_s * w_mis
+                          / jnp.maximum(pdf_l, 1e-12))[..., None])
             radiance = radiance + jnp.where(take[..., None],
                                             finite_or_zero(contrib), 0.0)
 
@@ -365,12 +444,14 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
         throughput = jnp.where(alive[..., None], new_tp, throughput)
         prev_pdf = jnp.where(alive, pdf, 0.0)
         return (ro, rd, radiance, throughput, alive, prev_pdf, sn,
-                n_trace, n_shadow)
+                g_albedo, g_normal, g_depth, n_trace, n_shadow)
 
     state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
-             n_trace, n_shadow)
+             g_albedo, g_normal, g_depth, n_trace, n_shadow)
     state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
-    return state[2], {"n_trace": state[7], "n_shadow": state[8]}
+    stats = {"n_trace": state[10], "n_shadow": state[11],
+             "albedo": state[7], "normal": state[8], "depth": state[9]}
+    return state[2], stats
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp"))

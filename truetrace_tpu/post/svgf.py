@@ -1,0 +1,163 @@
+"""SVGF denoiser: temporal accumulation + variance-guided a-trous filtering.
+
+Counterpart of the reference's SVGF/ASVGF family (PostProcess/Compute/
+SVGF.compute:67-568 copy/reproject/variance/atrous/finalize; the ASVGF
+wrapper chain PostProcess/ASVGF.cs:232). TPU design: each pass is one
+jitted stencil over the whole image (XLA fuses the 5x5 taps into vector
+code; the reference's ping-pong RT juggling becomes pure-functional array
+returns).
+
+State is explicit and pytree-shaped (works under jit / shard_map / scan):
+  SVGFState: color history [H,W,3], moments history [H,W,2],
+             history length [H,W], prev normal/depth G-buffer.
+
+Static-camera reprojection is the identity (motion-vector reprojection
+lands with the animated-scene milestone; the API already takes `motion`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from truetrace_tpu.core.math import luminance
+
+ALPHA_COLOR = 0.2
+ALPHA_MOMENTS = 0.2
+EPS_NORMAL = 1e-3
+SIGMA_Z = 1.0
+SIGMA_N = 128.0
+SIGMA_L = 4.0
+
+
+class SVGFState(NamedTuple):
+    color: jnp.ndarray      # [H,W,3] filtered-history (demodulated)
+    moments: jnp.ndarray    # [H,W,2] first/second luminance moments
+    hist_len: jnp.ndarray   # [H,W]
+    normal: jnp.ndarray     # [H,W,3]
+    depth: jnp.ndarray      # [H,W]
+
+    @staticmethod
+    def create(h: int, w: int) -> "SVGFState":
+        return SVGFState(color=jnp.zeros((h, w, 3), jnp.float32),
+                         moments=jnp.zeros((h, w, 2), jnp.float32),
+                         hist_len=jnp.zeros((h, w), jnp.float32),
+                         normal=jnp.zeros((h, w, 3), jnp.float32),
+                         depth=jnp.zeros((h, w), jnp.float32))
+
+
+def _shift(img, dy, dx):
+    return jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+
+
+def _edge_weights(normal, depth, lum, var, dy, dx, step):
+    """Edge-stopping weights against the (dy,dx)-shifted neighbor."""
+    n_q = _shift(normal, dy, dx)
+    z_q = _shift(depth, dy, dx)
+    l_q = _shift(lum, dy, dx)
+    w_n = jnp.maximum(jnp.sum(normal * n_q, axis=-1), 0.0) ** SIGMA_N
+    dz = jnp.abs(depth - z_q)
+    w_z = jnp.exp(-dz / (SIGMA_Z * abs(step) * (jnp.abs(depth) * 0.02 + 1e-2)
+                         + 1e-8))
+    w_l = jnp.exp(-jnp.abs(lum - l_q)
+                  / (SIGMA_L * jnp.sqrt(jnp.maximum(var, 1e-10)) + 1e-8))
+    return w_n * w_z * w_l
+
+
+# 5x5 B3-spline a-trous kernel (separable 1/16,1/4,3/8,1/4,1/16)
+_K1D = (1 / 16, 1 / 4, 3 / 8, 1 / 4, 1 / 16)
+
+
+def _atrous_pass(color, var, normal, depth, step: int):
+    lum = luminance(color)
+    acc_c = jnp.zeros_like(color)
+    acc_v = jnp.zeros_like(var)
+    acc_w = jnp.zeros_like(var)
+    for i, ky in enumerate(_K1D):
+        for j, kx in enumerate(_K1D):
+            dy = (i - 2) * step
+            dx = (j - 2) * step
+            k = ky * kx
+            w = _edge_weights(normal, depth, lum, var, dy, dx, step) * k
+            if dy == 0 and dx == 0:
+                w = jnp.full_like(w, k)
+            acc_c = acc_c + _shift(color, dy, dx) * w[..., None]
+            acc_v = acc_v + _shift(var, dy, dx) * (w * w)
+            acc_w = acc_w + w
+    inv = 1.0 / jnp.maximum(acc_w, 1e-8)
+    return acc_c * inv[..., None], acc_v * inv * inv
+
+
+def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
+                 normal: jnp.ndarray, depth: jnp.ndarray,
+                 state: SVGFState, n_atrous: int = 5,
+                 motion: Optional[jnp.ndarray] = None):
+    """One frame of SVGF. Returns (denoised [H,W,3], new_state).
+
+    noisy: raw per-frame radiance; albedo/normal/depth: primary G-buffer
+    (integrator stats). motion: [H,W,2] pixel offsets (None = static)."""
+    # demodulate albedo so the filter works on irradiance
+    demod = noisy / jnp.maximum(albedo, 1e-3)
+    lum = luminance(demod)
+
+    # ---- temporal reprojection + validity (normal/depth similarity gate,
+    # reference SVGF reproject pass)
+    prev_color = state.color
+    prev_moments = state.moments
+    prev_len = state.hist_len
+    if motion is not None:
+        # gather history at p - motion (nearest)
+        H, W = depth.shape
+        ys = jnp.clip((jnp.arange(H)[:, None] - motion[..., 1]).astype(int),
+                      0, H - 1)
+        xs = jnp.clip((jnp.arange(W)[None, :] - motion[..., 0]).astype(int),
+                      0, W - 1)
+        prev_color = prev_color[ys, xs]
+        prev_moments = prev_moments[ys, xs]
+        prev_len = prev_len[ys, xs]
+        prev_n = state.normal[ys, xs]
+        prev_z = state.depth[ys, xs]
+    else:
+        prev_n = state.normal
+        prev_z = state.depth
+    valid = (jnp.sum(normal * prev_n, axis=-1) > 0.9) \
+        & (jnp.abs(depth - prev_z) < 0.1 * jnp.maximum(depth, 1e-3)) \
+        & (prev_len > 0)
+
+    hist_len = jnp.where(valid, prev_len + 1.0, 1.0)
+    a_c = jnp.maximum(ALPHA_COLOR, 1.0 / hist_len)
+    a_m = jnp.maximum(ALPHA_MOMENTS, 1.0 / hist_len)
+    color_t = jnp.where(valid[..., None],
+                        prev_color + a_c[..., None] * (demod - prev_color),
+                        demod)
+    mom = jnp.stack([lum, lum * lum], axis=-1)
+    moments_t = jnp.where(valid[..., None],
+                          prev_moments + a_m[..., None] * (mom - prev_moments),
+                          mom)
+
+    # variance: temporal when history is long enough, else 7x7 spatial
+    var_t = jnp.maximum(moments_t[..., 1] - moments_t[..., 0] ** 2, 0.0)
+    sp_m = jnp.zeros_like(moments_t)
+    sp_w = jnp.zeros_like(lum)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            k = jnp.exp(-0.5 * (dy * dy + dx * dx) / 4.0)
+            sp_m = sp_m + _shift(mom, dy, dx) * k
+            sp_w = sp_w + k
+    sp_m = sp_m / sp_w[..., None]
+    var_sp = jnp.maximum(sp_m[..., 1] - sp_m[..., 0] ** 2, 0.0)
+    var = jnp.where(hist_len >= 4.0, var_t, var_sp)
+
+    # ---- a-trous iterations; 1st filtered result feeds the history
+    color_f = color_t
+    new_hist_color = color_t
+    for i in range(n_atrous):
+        color_f, var = _atrous_pass(color_f, var, normal, depth, 1 << i)
+        if i == 0:
+            new_hist_color = color_f
+
+    out = color_f * jnp.maximum(albedo, 1e-3)
+    new_state = SVGFState(color=new_hist_color, moments=moments_t,
+                          hist_len=hist_len, normal=normal, depth=depth)
+    return out, new_state

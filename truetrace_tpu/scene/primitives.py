@@ -19,8 +19,9 @@ def grid(nx: int, nz: int, size_x=1.0, size_z=1.0,
         for j in range(nz):
             a = i * (nz + 1) + j
             b = (i + 1) * (nz + 1) + j
-            idx.append([a, b, b + 1])
-            idx.append([a, b + 1, a + 1])
+            # winding chosen so cross(e1, e2) = +y
+            idx.append([a, b + 1, b])
+            idx.append([a, a + 1, b + 1])
     uv = np.stack([(X + size_x / 2) / size_x, (Z + size_z / 2) / size_z],
                   axis=-1).reshape(-1, 2).astype(np.float32)
     return verts, np.asarray(idx, np.int32), uv
