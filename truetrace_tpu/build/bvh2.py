@@ -42,12 +42,22 @@ class BVH2:
 
 
 def build_bvh2(prim_box: np.ndarray, max_leaf: int = DEFAULT_MAX_LEAF,
-               sah_leaf_cap: int = 24) -> BVH2:
+               sah_leaf_cap: int = 24, use_native: bool = True) -> BVH2:
     """prim_box: [T,2,3] primitive AABBs.
 
     max_leaf: split until <= this many prims; sah_leaf_cap: largest leaf the
     SAH early-termination may create (use == max_leaf when the tree feeds the
-    CWBVH collapse, which needs leaves <= 3 prims)."""
+    CWBVH collapse, which needs leaves <= 3 prims).
+
+    The C++ fast path (build/native/bvh2.cpp, same algorithm) is used when
+    available and the scene is big enough for Python overhead to matter."""
+    if use_native and prim_box.shape[0] >= 20000:
+        from truetrace_tpu.build.native import build_bvh2_native
+        out = build_bvh2_native(prim_box, max_leaf, sah_leaf_cap)
+        if out is not None:
+            box, left, count, order, depth = out
+            return BVH2(box=box, left=left, count=count, order=order,
+                        depth=depth)
     T = prim_box.shape[0]
     assert T > 0
     lo = prim_box[:, 0, :].astype(np.float64)

@@ -51,6 +51,12 @@ class CWBVH:
                            # stay contiguous, so the BVH2 arrays can be
                            # remapped onto CWBVH-ordered triangles.
     depth: int
+    # refit metadata (build/refit.py level sweeps — the reference's
+    # DocumentNodes layer worklists, ParentObject.cs:638):
+    node_depth: np.ndarray     # [C] int32 (root = 1)
+    slot_child: np.ndarray     # [C,8] int32 internal child node id, -1 else
+    slot_tri_base: np.ndarray  # [C,8] int32 first tri of leaf slot, -1 else
+    slot_tri_count: np.ndarray # [C,8] int32 tris in leaf slot (0 = not leaf)
 
     @property
     def n_nodes(self) -> int:
@@ -151,6 +157,9 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray) -> CWBVH:
     nodes = []                   # list of 20-word rows
     tri_index = []
     new_leaf_start = np.full(n2, -1, np.int32)
+    meta_depth: list = []        # per emitted node
+    meta_slot_child: list = []
+    meta_slot_tri: list = []     # (base, count) pairs
 
     from collections import deque
 
@@ -158,6 +167,9 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray) -> CWBVH:
         """Reserve a node row for an internal node whose children are the
         BVH2 subtrees realized by n_ids (each with decision at 1 slot)."""
         nodes.append(np.zeros(20, np.uint32))
+        meta_depth.append(1)
+        meta_slot_child.append(np.full(8, -1, np.int32))
+        meta_slot_tri.append(np.full((8, 2), -1, np.int32))
         return len(nodes) - 1
 
     def expand_internal(n):
@@ -280,6 +292,20 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray) -> CWBVH:
             max_depth = max(max_depth, d_here + 1)
             queue.append((cid, ch))
 
+        # refit metadata for this node
+        meta_depth[node_id] = d_here
+        rank = 0
+        for s in range(8):
+            if meta[s] == 0:
+                continue
+            if imask & (1 << s):
+                meta_slot_child[node_id][s] = base_child + rank
+                rank += 1
+            else:
+                off = meta[s] & 0x1F
+                cnt = bin(meta[s] >> 5).count("1")
+                meta_slot_tri[node_id][s] = (base_tri + off, cnt)
+
         # fill the 20 words
         w = np.zeros(20, np.uint32)
         w[0:3] = np.frombuffer(
@@ -309,7 +335,12 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray) -> CWBVH:
                                        for s in range(4)))
         nodes[node_id] = w
 
+    slot_tri = np.stack(meta_slot_tri)           # [C,8,2]
     return CWBVH(nodes=np.stack(nodes).astype(np.uint32),
                  tri_index=np.asarray(tri_index, np.int32),
                  leaf_start=new_leaf_start,
-                 depth=max_depth)
+                 depth=max_depth,
+                 node_depth=np.asarray(meta_depth, np.int32),
+                 slot_child=np.stack(meta_slot_child),
+                 slot_tri_base=slot_tri[:, :, 0].copy(),
+                 slot_tri_count=np.maximum(slot_tri[:, :, 1], 0))

@@ -49,6 +49,9 @@ class RenderConfig:
     max_leaf: int = struct.field(pytree_node=False, default=4)
     traversal: str = struct.field(pytree_node=False, default="bvh2")
     light_sampling: str = struct.field(pytree_node=False, default="cdf")
+    restir_capture: bool = struct.field(pytree_node=False, default=False)
+    cache_capture: bool = struct.field(pytree_node=False, default=False)
+    cache_query_bounce: int = struct.field(pytree_node=False, default=-1)
 
 
 def gather_material(materials, mid):
@@ -209,7 +212,7 @@ def render_sample_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
-                             pixel, sample_id):
+                             pixel, sample_id, cache=None):
     """Like render_sample_pixels but also returns ray-count stats
     {n_trace, n_shadow} (the Mrays/s accounting the benchmarks use —
     counterpart of the reference's BufferSizes counters,
@@ -231,6 +234,25 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     g_albedo = jnp.ones((R, 3), jnp.float32)
     g_normal = jnp.zeros((R, 3), jnp.float32)
     g_depth = jnp.zeros((R,), jnp.float32)
+    # ReSTIR GI candidate capture (integrate/restir.py): split of direct
+    # (bounce-0) vs indirect radiance + the second path vertex record
+    r_direct = jnp.zeros((R, 3), jnp.float32)
+    r_x2 = jnp.zeros((R, 3), jnp.float32)
+    r_n2 = jnp.zeros((R, 3), jnp.float32)
+    r_tp1 = jnp.ones((R, 3), jnp.float32)     # f1*cos1/pdf1 of bounce 0
+    r_pdf1 = jnp.zeros((R,), jnp.float32)
+    r_valid = jnp.zeros((R,), bool)
+    r_x1 = jnp.zeros((R, 3), jnp.float32)
+    r_mat1 = jnp.zeros((R,), jnp.int32)
+    # radiance-cache records (integrate/radiance_cache.py): one slot per
+    # bounce — vertex cell, radiance prefix and throughput at entry
+    B = cfg.bounces
+    c_hash = jnp.zeros((R, B), jnp.uint32)
+    c_key = jnp.zeros((R, B), jnp.uint32)
+    c_prefix = jnp.zeros((R, B, 3), jnp.float32)
+    c_tp = jnp.zeros((R, B, 3), jnp.float32)
+    c_live = jnp.zeros((R, B), bool)
+    cam_pos = cam.c2w[3, :3]
     prev_pdf = jnp.zeros((R,), jnp.float32)   # 0 => previous bounce not MIS-able
     prev_n = jnp.zeros((R, 3), jnp.float32)   # prev shading normal (tree pdf)
     n_trace = jnp.zeros((), jnp.float32)
@@ -249,7 +271,10 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     def bounce(b, state):
         (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
-         g_albedo, g_normal, g_depth, n_trace, n_shadow) = state
+         g_albedo, g_normal, g_depth,
+         r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
+         c_hash, c_key, c_prefix, c_tp, c_live,
+         n_trace, n_shadow) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         hit = _trace(scene, ro, rd, cfg)
         hit_ok = (hit.tri >= 0) & alive
@@ -320,6 +345,35 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
                              g_albedo)
         g_normal = jnp.where(first & hit_ok[..., None], sn, g_normal)
         g_depth = jnp.where(first & hit_ok, hit.t, g_depth)
+        if cfg.restir_capture:
+            # second path vertex (the GI sample point); first vertex + mat
+            second = (b == 1)
+            r_x2 = jnp.where(second & hit_ok[..., None], p, r_x2)
+            r_n2 = jnp.where(second & hit_ok[..., None], gn, r_n2)
+            r_valid = r_valid | (second & hit_ok)
+            r_x1 = jnp.where(first & hit_ok[..., None], p, r_x1)
+            r_mat1 = jnp.where(first & hit_ok, mid, r_mat1)
+
+        if cfg.cache_capture or cfg.cache_query_bounce >= 0:
+            from truetrace_tpu.integrate.radiance_cache import (
+                cache_cell, cache_query)
+        if cfg.cache_capture:
+            # record the vertex cell + entry prefix/throughput at bounce b
+            v_hash, v_key = cache_cell(p, sn, cam_pos)
+            c_hash = c_hash.at[:, b].set(jnp.where(hit_ok, v_hash, 0))
+            c_key = c_key.at[:, b].set(jnp.where(hit_ok, v_key, 0))
+            c_prefix = c_prefix.at[:, b].set(radiance)
+            c_tp = c_tp.at[:, b].set(throughput)
+            c_live = c_live.at[:, b].set(hit_ok)
+        if cfg.cache_query_bounce >= 0 and cache is not None:
+            # terminate paths with a confident cache entry (reference:
+            # radiance-cache hooks RayTracingShader.compute:303-326)
+            q_rad, q_hit = cache_query(cache, p, sn, cam_pos)
+            q_take = hit_ok & q_hit & (b >= cfg.cache_query_bounce)
+            radiance = radiance + jnp.where(q_take[..., None],
+                                            throughput * q_rad, 0.0)
+            alive = alive & ~q_take
+            hit_ok = hit_ok & ~q_take
 
         # ---- emissive hit (MIS against NEE)
         emis = mat.emission
@@ -443,14 +497,40 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
         rd = wi
         throughput = jnp.where(alive[..., None], new_tp, throughput)
         prev_pdf = jnp.where(alive, pdf, 0.0)
+        if cfg.restir_capture:
+            # snapshot direct radiance + first-bounce throughput factor
+            r_direct = jnp.where(first, radiance, r_direct)
+            tp1 = f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None]
+            r_tp1 = jnp.where(first & alive[..., None],
+                              finite_or_zero(tp1), r_tp1)
+            r_pdf1 = jnp.where(first, jnp.where(alive, pdf, 0.0), r_pdf1)
         return (ro, rd, radiance, throughput, alive, prev_pdf, sn,
-                g_albedo, g_normal, g_depth, n_trace, n_shadow)
+                g_albedo, g_normal, g_depth,
+                r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
+                c_hash, c_key, c_prefix, c_tp, c_live,
+                n_trace, n_shadow)
 
     state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
-             g_albedo, g_normal, g_depth, n_trace, n_shadow)
+             g_albedo, g_normal, g_depth,
+             r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
+             c_hash, c_key, c_prefix, c_tp, c_live,
+             n_trace, n_shadow)
     state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
-    stats = {"n_trace": state[10], "n_shadow": state[11],
+    stats = {"n_trace": state[23], "n_shadow": state[24],
              "albedo": state[7], "normal": state[8], "depth": state[9]}
+    if cfg.restir_capture:
+        stats.update({
+            "direct": state[10], "x2": state[11], "n2": state[12],
+            "tp1": state[13], "pdf1": state[14],
+            "cand_valid": state[15], "x1": state[16], "mat1": state[17],
+            "indirect": state[2] - state[10],
+        })
+    if cfg.cache_capture:
+        stats.update({
+            "cache_hash": state[18], "cache_key": state[19],
+            "cache_prefix": state[20], "cache_tp": state[21],
+            "cache_live": state[22],
+        })
     return state[2], stats
 
 
