@@ -1,11 +1,14 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Tests must run without TPU hardware; multi-chip sharding tests use the
-virtual device mesh. Set env vars BEFORE jax import.
+The container's sitecustomize (axon TPU tunnel) imports jax at interpreter
+startup and pins JAX_PLATFORMS=axon, so env vars set here are too late —
+but `jax.config.update` still wins as long as no backend has been created.
+XLA_FLAGS is read lazily at CPU-backend creation, so setting it here works.
+Tests must never land on the real chip (slow remote compiles, single
+device, different fp paths).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.local_device_count() == 8, (
+    f"tests need the 8-device virtual CPU mesh, got {jax.devices()}")

@@ -129,3 +129,24 @@ def test_wavefront_matches_brute_force():
     occ = np.asarray(any_hit_wavefront(nodes, trip, ro, rd, tmax))
     ref_occ = np.asarray(bf.t) < np.asarray(tmax)
     assert np.array_equal(occ, ref_occ)
+
+
+def test_brute_mxu_matches_reference():
+    """Woop-transform MXU brute force == Moller brute force."""
+    from truetrace_tpu.kernels.tri_mxu import intersect_brute, pack_woop
+    p0, e1, e2 = random_tris(1000, seed=11)
+    woop = jnp.asarray(pack_woop(p0, e1, e2))
+    r = np.random.default_rng(12)
+    R = 512
+    ro = jnp.asarray(r.uniform(-15, 15, (R, 3)).astype(np.float32))
+    rd = r.normal(size=(R, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    h = intersect_brute(woop, ro, rd, jnp.float32(1e30))
+    ref = brute_force_closest(jnp.asarray(p0), jnp.asarray(e1),
+                              jnp.asarray(e2), ro, rd, 1e30)
+    hm = np.asarray(h.tri) >= 0
+    bm = np.asarray(ref.tri) >= 0
+    assert (hm == bm).mean() > 0.995     # unit-space vs Moller epsilons
+    both = hm & bm
+    assert np.allclose(np.asarray(h.t)[both], np.asarray(ref.t)[both],
+                       rtol=2e-3, atol=2e-4)

@@ -1,0 +1,75 @@
+"""Instancing: two-level traversal must equal the flattened world scene."""
+import jax.numpy as jnp
+import numpy as np
+
+from truetrace_tpu.kernels.traverse_ref import brute_force_closest
+from truetrace_tpu.scene.instances import (
+    any_hit_instanced, build_instanced, closest_hit_instanced,
+    make_transform)
+from truetrace_tpu.scene.mesh import HostMesh
+from truetrace_tpu.scene.primitives import uv_sphere, grid, transform
+
+
+def _setup():
+    sv, si, _ = uv_sphere(8, 12, radius=0.5)
+    sphere = HostMesh(positions=sv, indices=si,
+                      mat_id=np.zeros(len(si), np.int32))
+    gv, gi, _ = grid(4, 4, 6.0, 6.0)
+    ground = HostMesh(positions=gv, indices=gi,
+                      mat_id=np.ones(len(gi), np.int32))
+    instances = [
+        (0, make_transform(translate=(-1.5, 0.5, 0.0))),
+        (0, make_transform(translate=(1.2, 0.8, 0.5), rot_y=0.7,
+                           scale=1.6)),
+        (1, make_transform(translate=(0, 0, 0))),
+    ]
+    sc = build_instanced([sphere, ground], instances)
+
+    # flattened world-space equivalent for ground truth
+    world_p0, world_e1, world_e2 = [], [], []
+    for src_id, m in instances:
+        mesh = [sphere, ground][src_id]
+        v = mesh.positions @ m[:3, :3] + m[3, :3]
+        idx = mesh.indices
+        v0, v1, v2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
+        world_p0.append(v0)
+        world_e1.append(v1 - v0)
+        world_e2.append(v2 - v0)
+    wp0 = jnp.asarray(np.concatenate(world_p0))
+    we1 = jnp.asarray(np.concatenate(world_e1))
+    we2 = jnp.asarray(np.concatenate(world_e2))
+    return sc, (wp0, we1, we2)
+
+
+def test_instanced_closest_matches_flattened():
+    sc, (wp0, we1, we2) = _setup()
+    r = np.random.default_rng(0)
+    R = 384
+    ro = jnp.asarray(r.uniform(-5, 5, (R, 3)).astype(np.float32))
+    rd = r.normal(size=(R, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    h = closest_hit_instanced(sc, ro, rd, jnp.float32(1e30))
+    bf = brute_force_closest(wp0, we1, we2, ro, rd, 1e30)
+    hm = np.asarray(h.tri) >= 0
+    bm = np.asarray(bf.tri) >= 0
+    assert np.array_equal(hm, bm)
+    np.testing.assert_allclose(np.asarray(h.t)[hm], np.asarray(bf.t)[bm],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_instanced_any_hit():
+    sc, (wp0, we1, we2) = _setup()
+    r = np.random.default_rng(1)
+    R = 256
+    ro = jnp.asarray(r.uniform(-5, 5, (R, 3)).astype(np.float32))
+    rd = r.normal(size=(R, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+    tmax = jnp.asarray(r.uniform(0.5, 10.0, R).astype(np.float32))
+
+    occ = np.asarray(any_hit_instanced(sc, ro, rd, tmax))
+    bf = brute_force_closest(wp0, we1, we2, ro, rd, 1e30)
+    ref = np.asarray(bf.t) < np.asarray(tmax) * (1 - 1e-5)
+    # boundary-epsilon tolerance: allow a few mismatches at t ~= tmax
+    mism = occ != (np.asarray(bf.t) < np.asarray(tmax))
+    assert mism.mean() < 0.01, mism.mean()

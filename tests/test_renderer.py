@@ -1,0 +1,49 @@
+"""Frame orchestrator: every pipeline combination produces valid frames."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from truetrace_tpu.renderer import Renderer, RendererConfig
+from truetrace_tpu.scene import cornell
+from truetrace_tpu.scene.mesh import compile_scene
+
+
+@pytest.fixture(scope="module")
+def scene_cam():
+    meshes, mats, cam = cornell.make()
+    return compile_scene(meshes, mats), cam
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(denoiser="svgf"),
+    dict(denoiser="asvgf"),
+    dict(use_restir=True),
+    dict(use_radiance_cache=True, cache_capacity=1 << 14),
+])
+def test_renderer_pipelines(scene_cam, kw):
+    scene, cam = scene_cam
+    cfg = RendererConfig(width=24, height=24, bounces=2, bsdf="lambert",
+                         traversal="bvh2", light_sampling="cdf", **kw)
+    r = Renderer(scene, cam, cfg)
+    state = r.init_state()
+    for _ in range(2):
+        display, radiance, state = r.step(state)
+    assert display.shape == (24, 24, 3)
+    d = np.asarray(display)
+    assert np.isfinite(d).all()
+    assert d.min() >= 0.0 and d.max() <= 1.0
+    assert np.isfinite(np.asarray(radiance)).all()
+    assert int(state.sample) == 2
+    assert float(state.accum.count) == 2.0
+
+
+def test_reset_accumulation(scene_cam):
+    scene, cam = scene_cam
+    r = Renderer(scene, cam, RendererConfig(width=16, height=16, bounces=1,
+                                            bsdf="lambert",
+                                            traversal="bvh2"))
+    state = r.init_state()
+    _, _, state = r.step(state)
+    state = r.reset_accumulation(state)
+    assert float(state.accum.count) == 0.0

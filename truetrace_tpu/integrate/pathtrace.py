@@ -165,6 +165,9 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
 # ---------------------------------------------------------------------------
 
 def _trace(scene: Scene, ro, rd, cfg: "RenderConfig") -> Hit:
+    if cfg.traversal == "brute":
+        from truetrace_tpu.kernels.tri_mxu import intersect_brute
+        return intersect_brute(scene.woop, ro, rd, T_MAX)
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
         return closest_hit_wavefront(
@@ -181,6 +184,9 @@ def _trace(scene: Scene, ro, rd, cfg: "RenderConfig") -> Hit:
 
 
 def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
+    if cfg.traversal == "brute":
+        from truetrace_tpu.kernels.tri_mxu import any_hit_brute
+        return any_hit_brute(scene.woop, ro, rd, t_max)
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import any_hit_wavefront
         return any_hit_wavefront(

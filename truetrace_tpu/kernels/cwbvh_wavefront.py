@@ -155,7 +155,7 @@ def _meta_at(meta0, meta1, slot):
 
 
 def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
-              max_stack: int):
+              max_stack: int, root=0):
     R = ro.shape[0]
     T = tri_triple.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12,
@@ -171,9 +171,10 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
     u_best = jnp.zeros((R,), jnp.float32)
     v_best = jnp.zeros((R,), jnp.float32)
 
-    # enter the root
-    cur = _decode_and_slab(nodes, jnp.zeros((R,), jnp.int32), ro, rd,
-                           inv_rd, t_best)
+    # enter the root (an aggregated multi-BLAS buffer roots an instance's
+    # subtree at its node_offset)
+    root_ids = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (R,))
+    cur = _decode_and_slab(nodes, root_ids, ro, rd, inv_rd, t_best)
     zero_u = jnp.zeros((R, max_stack), U32)
     zero_i = jnp.zeros((R, max_stack), jnp.int32)
     planes = dict(mask=zero_u, base_child=zero_i, base_tri=zero_i,

@@ -277,7 +277,8 @@ def _eval_local(mat, wo, wi):
     pdf_c = jnp.where(h_ok, pdf_c, 0.0)
 
     diel = (1.0 - mat.metallic) * (1.0 - mat.spec_trans)
-    f = f_d * diel[..., None] + f_s + f_c + f_t
+    trans_w = (1.0 - mat.metallic) * mat.spec_trans
+    f = f_d * diel[..., None] + f_s + f_c + f_t * trans_w[..., None]
     # transmission lobe reflects with probability fr(h): add that pdf mass
     fr_refl = _fresnel_dielectric(jnp.abs(dot(wo, h_refl)), eta)
     pdf = (p_diff * pdf_d + (p_spec + p_trans * fr_refl) * pdf_s

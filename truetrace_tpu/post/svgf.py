@@ -92,11 +92,14 @@ def _atrous_pass(color, var, normal, depth, step: int):
 def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
                  normal: jnp.ndarray, depth: jnp.ndarray,
                  state: SVGFState, n_atrous: int = 5,
-                 motion: Optional[jnp.ndarray] = None):
+                 motion: Optional[jnp.ndarray] = None,
+                 alpha_map: Optional[jnp.ndarray] = None):
     """One frame of SVGF. Returns (denoised [H,W,3], new_state).
 
     noisy: raw per-frame radiance; albedo/normal/depth: primary G-buffer
-    (integrator stats). motion: [H,W,2] pixel offsets (None = static)."""
+    (integrator stats). motion: [H,W,2] pixel offsets (None = static).
+    alpha_map: optional per-pixel temporal blend override (ASVGF gradients
+    drive this — post/asvgf.py)."""
     # demodulate albedo so the filter works on irradiance
     demod = noisy / jnp.maximum(albedo, 1e-3)
     lum = luminance(demod)
@@ -126,8 +129,12 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
         & (prev_len > 0)
 
     hist_len = jnp.where(valid, prev_len + 1.0, 1.0)
-    a_c = jnp.maximum(ALPHA_COLOR, 1.0 / hist_len)
-    a_m = jnp.maximum(ALPHA_MOMENTS, 1.0 / hist_len)
+    base_a = ALPHA_COLOR if alpha_map is None else alpha_map
+    hist_len = hist_len if alpha_map is None else \
+        jnp.minimum(hist_len, 1.0 / jnp.maximum(alpha_map, 1e-3))
+    a_c = jnp.maximum(base_a, 1.0 / hist_len)
+    a_m = jnp.maximum(ALPHA_MOMENTS if alpha_map is None else alpha_map,
+                      1.0 / hist_len)
     color_t = jnp.where(valid[..., None],
                         prev_color + a_c[..., None] * (demod - prev_color),
                         demod)

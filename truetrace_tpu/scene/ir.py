@@ -181,6 +181,8 @@ class Scene:
     cw_tri_index: jnp.ndarray # [T] int32 CWBVH leaf order -> global tri id
     cw_tri_triple: jnp.ndarray  # [T,36] f32 rows of 3 packed tris (one
                                 # gather covers a whole <=3-tri leaf)
+    woop: jnp.ndarray           # [T,24] Woop unit-tri transforms for the
+                                # MXU brute-force path (empty if disabled)
 
     # texture atlas (scene/atlas.py; empty = no textures)
     atlas: jnp.ndarray        # [AH,AW,4] f32

@@ -189,6 +189,13 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
 
     light_tris = _emissive_light_tris(tris, mats)
 
+    # MXU brute-force path for small scenes (kernels/tri_mxu.py)
+    from truetrace_tpu.kernels.tri_mxu import BRUTE_MAX_TRIS, pack_woop
+    if tris["p0"].shape[0] <= BRUTE_MAX_TRIS:
+        woop = jnp.asarray(pack_woop(tris["p0"], tris["e1"], tris["e2"]))
+    else:
+        woop = jnp.zeros((0, 24), jnp.float32)
+
     lbvh_nodes = jnp.zeros((0, 12), jnp.float32)
     lbvh_info = jnp.zeros((0, 2), jnp.int32)
     lbvh_prim = jnp.zeros((0,), jnp.int32)
@@ -210,7 +217,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         bvh2_box=jnp.asarray(bvh.box), bvh2_left=jnp.asarray(bvh.left),
         bvh2_count=jnp.asarray(bvh.count),
         cw_nodes=cw_nodes, cw_tri_index=cw_tri_index,
-        cw_tri_triple=cw_tri_triple,
+        cw_tri_triple=cw_tri_triple, woop=woop,
         atlas=jnp.asarray(atlas, jnp.float32) if atlas is not None
         else jnp.zeros((1, 1, 4), jnp.float32),
         atlas_rects=jnp.asarray(atlas_rects, jnp.int32)
