@@ -201,3 +201,49 @@ def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None):
         x = sharpen_cas(x, cfg.sharpen)
     x = jnp.clip(x, 0.0, 1.0) ** (1.0 / cfg.gamma)
     return x, new_history
+
+
+# ---------------------------------------------------------------------------
+# firefly suppression (reference FireFlyPass.shader — RCRS clamp)
+# ---------------------------------------------------------------------------
+
+def firefly_clamp(img, factor: float = 3.0):
+    """Rank-conditioned clamp: a pixel may not exceed `factor` x the max of
+    its 3x3 neighbors (excluding itself). Kills single-sample fireflies
+    without blurring legitimate highlights that span several pixels."""
+    nmax = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+            nmax = n if nmax is None else jnp.maximum(nmax, n)
+    limit = nmax * factor + 1e-4
+    return jnp.minimum(img, limit)
+
+
+# ---------------------------------------------------------------------------
+# temporal upscaling (reference TAAU.compute): render at a lower internal
+# resolution with per-frame subpixel jitter, accumulate into the full-res
+# history with neighborhood clamping.
+# ---------------------------------------------------------------------------
+
+def taau_upscale(low, history, scale: int = 2, alpha: float = 0.15):
+    """low: [h,w,3] current low-res frame; history: [h*scale, w*scale, 3]
+    or None. Returns (upscaled [H,W,3], new_history)."""
+    H = low.shape[0] * scale
+    W = low.shape[1] * scale
+    up = jnp.repeat(jnp.repeat(low, scale, axis=0), scale, axis=1)[:H, :W]
+    if history is None:
+        return up, up
+    # clamp history to the upsampled neighborhood
+    nmin = up
+    nmax = up
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            n = jnp.roll(jnp.roll(up, dy, axis=0), dx, axis=1)
+            nmin = jnp.minimum(nmin, n)
+            nmax = jnp.maximum(nmax, n)
+    hist = jnp.clip(history, nmin, nmax)
+    out = hist + alpha * (up - hist)
+    return out, out
