@@ -30,8 +30,10 @@ BASELINE_MRAYS = 0.344
 
 def main():
     detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
-    R = int(os.environ.get("BENCH_RAYS", str(1 << 17)))
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    # 32k-ray batches: measured sweet spot on v5e (stragglers in the
+    # lock-step wavefront grow with batch size; see BASELINE.md)
+    R = int(os.environ.get("BENCH_RAYS", str(1 << 15)))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     from truetrace_tpu.core import rng
     from truetrace_tpu.kernels.cwbvh_wavefront import (

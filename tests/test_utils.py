@@ -54,3 +54,21 @@ def test_render_metrics():
         p = os.path.join(d, "metrics.jsonl")
         m.dump(p)
         assert len(open(p).read().splitlines()) == 2
+
+
+def test_materials_json_roundtrip(tmp_path):
+    from truetrace_tpu.scene.materials_io import (
+        apply_overrides, load_materials, save_materials)
+    from truetrace_tpu.scene.mesh import HostMaterial
+    mats = [HostMaterial(base_color=(0.2, 0.4, 0.6), roughness=0.3,
+                         metallic=1.0),
+            HostMaterial(emission=(5.0, 4.0, 3.0))]
+    p = str(tmp_path / "mats.json")
+    save_materials(p, mats, ["steel", "lamp"])
+    back, names = load_materials(p)
+    assert names == ["steel", "lamp"]
+    assert back[0].base_color == (0.2, 0.4, 0.6)
+    assert back[0].metallic == 1.0
+    assert back[1].emission == (5.0, 4.0, 3.0)
+    edited = apply_overrides(back, names, {"steel": {"roughness": 0.9}})
+    assert edited[0].roughness == 0.9 and edited[1].roughness == back[1].roughness

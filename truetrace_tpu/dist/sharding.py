@@ -123,3 +123,19 @@ def train_step_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
     new_mats = scene.materials.replace(
         base_color=params - lr * g)
     return loss, scene.replace(materials=new_mats)
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> Mesh:
+    """Initialize jax.distributed for a real multi-host pod slice and
+    return the global tile mesh (SURVEY.md section 5.8: DCN for init,
+    ICI for the render/gradient collectives).
+
+    On single-host (or under the CPU virtual mesh) this is a no-op that
+    just returns the local mesh."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return make_mesh()

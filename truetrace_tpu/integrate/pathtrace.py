@@ -225,12 +225,20 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     IntersectionKernels.compute:79)."""
     W, H = cfg.width, cfg.height
     pixel = pixel.astype(jnp.uint32)
-    R = pixel.shape[0]
     sid = jnp.asarray(sample_id, jnp.uint32)
-    bsdf_sample, bsdf_eval = get_bsdf(cfg.bsdf)
-
     jit2 = rng.uniform2(pixel, sid, jnp.uint32(rng.DIM_CAMERA_JITTER))
     ro, rd = camera_rays(cam, W, H, pixel.astype(jnp.int32), jit2)
+    return trace_rays(scene, ro, rd, cfg, pixel, sid, cam=cam, cache=cache)
+
+
+def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
+               cam: Optional[Camera] = None, cache=None):
+    """Path-trace explicit primary rays (lightmap baking, custom cameras,
+    debugging probes). Returns (radiance [R,3], stats dict)."""
+    R = ro.shape[0]
+    pixel = pixel.astype(jnp.uint32)
+    sid = jnp.asarray(sample_id, jnp.uint32)
+    bsdf_sample, bsdf_eval = get_bsdf(cfg.bsdf)
 
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
@@ -258,7 +266,7 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     c_prefix = jnp.zeros((R, B, 3), jnp.float32)
     c_tp = jnp.zeros((R, B, 3), jnp.float32)
     c_live = jnp.zeros((R, B), bool)
-    cam_pos = cam.c2w[3, :3]
+    cam_pos = cam.c2w[3, :3] if cam is not None else ro[0]
     prev_pdf = jnp.zeros((R,), jnp.float32)   # 0 => previous bounce not MIS-able
     prev_n = jnp.zeros((R, 3), jnp.float32)   # prev shading normal (tree pdf)
     n_trace = jnp.zeros((), jnp.float32)
