@@ -60,6 +60,21 @@ def pack_tri_triples(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray
     return np.concatenate([tri, tri[i1], tri[i2]], axis=1)  # [T,36]
 
 
+def pack_unified(nodes: np.ndarray, tri_triple: np.ndarray) -> np.ndarray:
+    """One [C+T, 36] uint32 table holding node rows (padded 20->36 words)
+    followed by triangle-triple rows (bitcast f32->u32).
+
+    A traversal iteration needs EITHER a child-node row (descending lanes)
+    OR a leaf-triple row (leaf lanes) — never both on the same lane — so a
+    unified table turns the loop body's two gathers into one. Row gather
+    cost is width-independent (measured), so the padding is free."""
+    C = nodes.shape[0]
+    out = np.zeros((C + tri_triple.shape[0], 36), np.uint32)
+    out[:C, :20] = nodes
+    out[C:] = tri_triple.view(np.uint32)
+    return out
+
+
 def _byte(w, k):
     return (w >> U32(8 * k)) & U32(0xFF)
 
@@ -98,39 +113,42 @@ def _decode_and_slab(nodes, idx, ro, rd, inv_rd, t_best):
     """Gather node rows, decode, slab-test the 8 children. Returns _Group
     (mask = hit children)."""
     w = nodes[idx]                                 # [R,20] u32  (gather B)
+    return _decode_rows_and_slab(w, ro, rd, inv_rd, t_best)
+
+
+def _decode_rows_and_slab(w, ro, rd, inv_rd, t_best):
+    """Decode pre-gathered node rows [R,>=20] u32 + slab-test children.
+
+    All byte fields come from ONE u8 bitcast view (little-endian word
+    layout) instead of per-byte shift/mask chains — the decode is a large
+    share of the per-iteration VPU work."""
+    R = w.shape[0]
+    b = jax.lax.bitcast_convert_type(w, jnp.uint8)     # [R,>=20,4]
     p = jax.lax.bitcast_convert_type(w[:, 0:3], jnp.float32)
-    e_b = jnp.stack([_byte(w[:, 3], 0), _byte(w[:, 3], 1),
-                     _byte(w[:, 3], 2)], axis=-1)
-    scale = jax.lax.bitcast_convert_type((e_b << 23).astype(U32),
-                                         jnp.float32)
-    imask = _byte(w[:, 3], 3)
+    e_b = b[:, 3, 0:3].astype(U32)
+    scale = jax.lax.bitcast_convert_type(e_b << 23, jnp.float32)
+    imask = b[:, 3, 3].astype(U32)
     base_child = w[:, 4].astype(jnp.int32)
     base_tri = w[:, 5].astype(jnp.int32)
     meta0 = w[:, 6]
     meta1 = w[:, 7]
+    meta8 = jnp.concatenate([b[:, 6, :], b[:, 7, :]], axis=1)   # [R,8] u8
 
-    # slab test 8 children: unpack q bytes [R,8] per axis
-    def bytes8(a, b):
-        return jnp.stack([_byte(w[:, a], k) for k in range(4)]
-                         + [_byte(w[:, b], k) for k in range(4)],
-                         axis=-1).astype(jnp.float32)
-
-    hit = jnp.ones((idx.shape[0], 8), bool)
-    tn_all = jnp.zeros((idx.shape[0], 8), jnp.float32)
-    tn = jnp.full((idx.shape[0], 8), -jnp.inf)
-    tf = jnp.full((idx.shape[0], 8), jnp.inf)
-    for axis, (a_lo, b_lo, a_hi, b_hi) in enumerate(
-            [(8, 9, 14, 15), (10, 11, 16, 17), (12, 13, 18, 19)]):
-        qlo = bytes8(a_lo, b_lo)
-        qhi = bytes8(a_hi, b_hi)
+    tn = jnp.full((R, 8), -jnp.inf)
+    tf = jnp.full((R, 8), jnp.inf)
+    for axis in range(3):
+        qlo = jnp.concatenate([b[:, 8 + 2 * axis, :],
+                               b[:, 9 + 2 * axis, :]],
+                              axis=1).astype(jnp.float32)
+        qhi = jnp.concatenate([b[:, 14 + 2 * axis, :],
+                               b[:, 15 + 2 * axis, :]],
+                              axis=1).astype(jnp.float32)
         lo = p[:, axis:axis + 1] + qlo * scale[:, axis:axis + 1]
         hi = p[:, axis:axis + 1] + qhi * scale[:, axis:axis + 1]
         t0 = (lo - ro[:, axis:axis + 1]) * inv_rd[:, axis:axis + 1]
         t1 = (hi - ro[:, axis:axis + 1]) * inv_rd[:, axis:axis + 1]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    meta8 = jnp.stack([_byte(meta0, k) for k in range(4)]
-                      + [_byte(meta1, k) for k in range(4)], axis=-1)
     hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best[:, None]) \
         & (meta8 != 0)
     mask = jnp.sum(jnp.where(hit, U32(1) << jnp.arange(8, dtype=U32)[None, :],
@@ -158,6 +176,12 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
               max_stack: int, root=0):
     R = ro.shape[0]
     T = tri_triple.shape[0]
+    C = nodes.shape[0]
+    # unified table: ONE gather per iteration serves both the descending
+    # lanes (node row) and the leaf lanes (triple row) — see pack_unified
+    unified = jnp.concatenate(
+        [jnp.pad(nodes, ((0, 0), (0, 16))),
+         jax.lax.bitcast_convert_type(tri_triple, jnp.uint32)], axis=0)
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12,
                              jnp.where(rd >= 0, 1e-12, -1e-12), rd)
     # near-octant key: bit k set where rd[k] < 0
@@ -207,12 +231,22 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
         is_int = ((cur.imask >> slot.astype(U32)) & U32(1)) == 1
         meta_s = _meta_at(cur.meta0, cur.meta1, slot)
 
-        # ---- 3a. leaf slots: one triple-row gather + <=3 Moller tests
+        # ---- 3. THE gather: leaf lanes fetch their triple row, descending
+        # lanes fetch their child-node row — one unified-table access
         leaf_lane = active & ~is_int
         off = (meta_s & U32(0x1F)).astype(jnp.int32)
         count = jax.lax.population_count(meta_s >> 5).astype(jnp.int32)
         t0i = jnp.clip(cur.base_tri + off, 0, T - 1)
-        trip = tri_triple[jnp.where(leaf_lane, t0i, 0)]     # [R,36] gather A
+        below = cur.imask & ((U32(1) << slot.astype(U32)) - U32(1))
+        rank = jax.lax.population_count(below).astype(jnp.int32)
+        child = jnp.clip(cur.base_child + rank, 0, C - 1)
+        descend = active & is_int
+        row_idx = jnp.where(leaf_lane, C + t0i,
+                            jnp.where(descend, child, 0))
+        row = unified[row_idx]                              # [R,36] u32
+
+        # ---- 3a. leaf slots: <=3 Moller tests on the fetched triple
+        trip = jax.lax.bitcast_convert_type(row, jnp.float32)
         for j in range(3):
             base = 12 * j
             p0 = trip[:, base + 0:base + 3]
@@ -236,10 +270,6 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
             v_best = jnp.where(ok, v, v_best)
 
         # ---- 3b. internal slots: descend into the child
-        below = cur.imask & ((U32(1) << slot.astype(U32)) - U32(1))
-        rank = jax.lax.population_count(below).astype(jnp.int32)
-        child = jnp.clip(cur.base_child + rank, 0, nodes.shape[0] - 1)
-        descend = active & is_int
         push = descend & (mask_rest != 0)
 
         # stack update: pop applies first, then push on the popped state
@@ -255,9 +285,11 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
         planes = new_planes
         sp = sp + push.astype(jnp.int32)
 
-        # fetch + slab the child for descending lanes         (gather B)
-        child_grp = _decode_and_slab(
-            nodes, jnp.where(descend, child, 0), ro, rd, inv_rd, t_best)
+        # decode + slab the child row for descending lanes (no extra
+        # gather — `row` already holds it; leaf lanes' rows are garbage
+        # as node data but fully masked out by `descend`)
+        child_grp = _decode_rows_and_slab(row[:, :20], ro, rd, inv_rd,
+                                          t_best)
         cur = jax.tree_util.tree_map(
             lambda new, old: jnp.where(descend, new, old), child_grp,
             cur._replace(mask=jnp.where(active, mask_rest, cur.mask)))
