@@ -66,7 +66,7 @@ def main():
         HostMaterial(base_color=(0.95, 0.78, 0.4), metallic=1.0,
                      roughness=0.15)]
     pos = np.concatenate([base.positions,
-                          transform(sv, translate=(0.17, 0.09, 0.12)),
+                          transform(sv, translate=(0.46, 0.09, 0.10)),
                           transform(sv, translate=(0.38, 0.09, 0.14))])
     idx = np.concatenate([base.indices, si + off, si + off + sv.shape[0]])
     mid = np.concatenate([base.mat_id,

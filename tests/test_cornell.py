@@ -65,3 +65,28 @@ def test_color_bleed(scene_cam):
     # camera at -z looking +z: +x (red wall) appears on the LEFT
     assert left[0] > left[1], f"left should be reddish: {left}"
     assert right[1] > right[0], f"right should be greenish: {right}"
+
+
+def test_depth_of_field_blurs_background(scene_cam):
+    """Thin-lens DoF: with a wide aperture focused near, the far wall gets
+    blurrier (higher local variance reduction... measured via edge
+    contrast of the box silhouettes vs the pinhole render)."""
+    import jax.numpy as jnp
+    from truetrace_tpu.scene.ir import Camera
+    scene, cam = scene_cam
+    cfg = RenderConfig(width=48, height=48, bounces=2)
+    pin = np.asarray(render(scene, cam, cfg, spp=48))
+    cam_dof = Camera.look_at(eye=(0.276, 0.276, -0.8),
+                             target=(0.276, 0.276, 0.0), fov_y_deg=39.0,
+                             aperture=0.03, focus_dist=0.5)
+    dof = np.asarray(render(scene, cam_dof, cfg, spp=48))
+    assert np.isfinite(dof).all()
+    # the lens must actually move samples: images differ substantially
+    rel = np.abs(dof - pin).mean() / max(pin.mean(), 1e-6)
+    assert rel > 0.1, rel
+    # and defocus lowers edge contrast once MC noise is averaged away:
+    # compare 4x-downsampled gradient energy
+    def sharp(img):
+        d = img.reshape(12, 4, 12, 4, 3).mean((1, 3)).sum(-1)
+        return np.abs(np.diff(d, axis=1)).mean()
+    assert sharp(dof) < sharp(pin), (sharp(dof), sharp(pin))

@@ -71,3 +71,25 @@ def test_postprocess_chain():
     assert out.min() >= 0.0 and out.max() <= 1.0
     out2, _ = postprocess(img, cfg, history=hist)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_firefly_clamp():
+    from truetrace_tpu.post.pipeline import firefly_clamp
+    img = jnp.ones((16, 16, 3), jnp.float32).at[8, 8].set(500.0)
+    out = np.asarray(firefly_clamp(img, factor=3.0))
+    assert out[8, 8, 0] <= 3.0 + 1e-3       # firefly killed
+    # a 2x2 bright region (legit highlight) survives
+    img2 = jnp.ones((16, 16, 3)).at[4:6, 4:6].set(100.0)
+    out2 = np.asarray(firefly_clamp(img2, factor=3.0))
+    assert out2[4:6, 4:6].max() > 90.0
+
+
+def test_taau_upscale():
+    from truetrace_tpu.post.pipeline import taau_upscale
+    low = _img(7, h=16, w=16)
+    up, hist = taau_upscale(low, None, scale=2)
+    assert up.shape == (32, 32, 3)
+    up2, _ = taau_upscale(_img(8, h=16, w=16), hist, scale=2)
+    assert np.isfinite(np.asarray(up2)).all()
+    # temporal blend moves toward the new frame but keeps history
+    assert not np.allclose(np.asarray(up2), np.asarray(up))

@@ -77,3 +77,25 @@ def test_history_rejected_on_geometry_change():
     # flip normals: history must be invalidated
     _, state2 = svgf_denoise(noisy, albedo, -normal, depth, state)
     assert float(state2.hist_len.max()) == 1.0
+
+
+def test_pallas_atrous_matches_xla():
+    """kernels/atrous_pallas (interpret mode on CPU) must match the XLA
+    reference pass bitwise-close for several step sizes."""
+    from truetrace_tpu.kernels.atrous_pallas import atrous_pass_pallas
+    from truetrace_tpu.post.svgf import _atrous_pass
+    r = np.random.default_rng(9)
+    H, W = 40, 72
+    color = jnp.asarray(r.uniform(0, 3, (H, W, 3)).astype(np.float32))
+    var = jnp.asarray(r.uniform(0, 0.5, (H, W)).astype(np.float32))
+    n = r.normal(size=(H, W, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    normal = jnp.asarray(n)
+    depth = jnp.asarray(r.uniform(0.5, 10, (H, W)).astype(np.float32))
+    for step in (1, 2):
+        c1, v1 = _atrous_pass(color, var, normal, depth, step)
+        c2, v2 = atrous_pass_pallas(color, var, normal, depth, step)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-4, atol=1e-6)

@@ -21,3 +21,11 @@ post       accumulate / tonemap / TAA / bloom / denoisers
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Rendering needs true f32 geometry math: TPU matmuls otherwise default to
+# bf16 multiplicands (8-bit mantissa), which quantizes hit distances and
+# transforms into visible artifacts (ring patterns on flat surfaces).
+# Kernels that deliberately want bf16 opt in explicitly.
+_jax.config.update("jax_default_matmul_precision", "float32")

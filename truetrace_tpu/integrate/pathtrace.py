@@ -227,7 +227,12 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     pixel = pixel.astype(jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
     jit2 = rng.uniform2(pixel, sid, jnp.uint32(rng.DIM_CAMERA_JITTER))
-    ro, rd = camera_rays(cam, W, H, pixel.astype(jnp.int32), jit2)
+    # thin-lens DoF: lens sample drawn from a dedicated dimension; when
+    # cam.aperture == 0 the offset vanishes (pinhole)
+    lens_u = rng.uniform2(pixel, sid + jnp.uint32(0x9E3779B9),
+                          jnp.uint32(rng.DIM_CAMERA_JITTER))
+    ro, rd = camera_rays(cam, W, H, pixel.astype(jnp.int32), jit2,
+                         lens_u=lens_u)
     return trace_rays(scene, ro, rd, cfg, pixel, sid, cam=cam, cache=cache)
 
 

@@ -5,10 +5,11 @@ The first-cut traversal (kernels/cwbvh_ref.py) used per-ray stack *scatters*
 (~30 M updates/s — measured). This version is designed around the two
 operations the hardware actually does well:
 
-* **gathers are the budget**: exactly TWO row-gathers per loop iteration —
-  one node row (20 words) and one leaf "triple" row (3 packed triangles) —
-  everything else is vector math.  (XLA row-gather measured ~80-240 M
-  rows/s on v5e; row width is free up to ~40 words.)
+* **gathers are the budget**: exactly ONE row-gather per loop iteration
+  from a unified [C+T, 36] table — descending lanes fetch their child-node
+  row, leaf lanes their 3-triangle "triple" row (mutually exclusive per
+  lane). (XLA row-gather measured ~80-240 M rows/s on v5e; row width is
+  free up to ~40 words, so node rows are padded to triple width.)
 * **stacks never scatter**: the per-ray stack is a set of [R, S] planes
   whose top is always column 0; push = shift-right + write col 0, pop =
   shift-left — pure `where`/`concat` vector ops.  Push and pop are

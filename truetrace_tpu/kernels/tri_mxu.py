@@ -75,11 +75,15 @@ def intersect_brute(woop: jnp.ndarray, ro, rd, t_max,
     def tile(carry, wt):
         t_best, tri_best, u_best, v_best, base = carry
         mo = jnp.stack([wt[:, 0:4], wt[:, 4:8], wt[:, 8:12]], 0)  # [3,Tt,4]
-        # origin-prime rows: [R,4] @ [4,Tt] per axis
+        # origin-prime rows: [R,4] @ [4,Tt] per axis. HIGHEST precision is
+        # required: TPU matmuls default to bf16 multiplicands, whose 8-bit
+        # mantissa quantizes hit distances into visible ring artifacts.
         op = jnp.einsum("rk,atk->art", ro4, mo,
-                        preferred_element_type=jnp.float32)      # [3,R,Tt]
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)     # [3,R,Tt]
         dp = jnp.einsum("rk,atk->art", rd, mo[:, :, :3],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         dz = dp[2]
         inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
         t = -op[2] * inv_dz

@@ -157,10 +157,13 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     var = jnp.where(hist_len >= 4.0, var_t, var_sp)
 
     # ---- a-trous iterations; 1st filtered result feeds the history
+    # (Pallas VMEM-resident kernel on TPU when the frame fits, else XLA:
+    # kernels/atrous_pallas.py)
+    from truetrace_tpu.kernels.atrous_pallas import atrous_pass_auto
     color_f = color_t
     new_hist_color = color_t
     for i in range(n_atrous):
-        color_f, var = _atrous_pass(color_f, var, normal, depth, 1 << i)
+        color_f, var = atrous_pass_auto(color_f, var, normal, depth, 1 << i)
         if i == 0:
             new_hist_color = color_f
 

@@ -81,7 +81,8 @@ def skin_vertices(mesh: SkinnedMesh, bones: jnp.ndarray) -> jnp.ndarray:
     pal = palette[mesh.bone_idx]                     # [V,4,3,4]
     v_h = jnp.concatenate([mesh.rest_verts,
                            jnp.ones((mesh.rest_verts.shape[0], 1))], -1)
-    per_bone = jnp.einsum("vbij,vj->vbi", pal, v_h)  # [V,4,3]
+    per_bone = jnp.einsum("vbij,vj->vbi", pal, v_h,
+                          precision=jax.lax.Precision.HIGHEST)  # [V,4,3]
     return jnp.sum(per_bone * mesh.bone_w[..., None], axis=1)
 
 
