@@ -184,6 +184,16 @@ def _trace(scene: Scene, ro, rd, cfg: "RenderConfig") -> Hit:
 
 
 def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
+    blocked = _occluded_mesh(scene, ro, rd, t_max, cfg)
+    if scene.terrain is not None:
+        # reference kernel_shadow_heightmap
+        # (IntersectionKernels.compute:598-710)
+        from truetrace_tpu.kernels.heightmap import heightmap_any
+        blocked = blocked | heightmap_any(scene.terrain, ro, rd, t_max)
+    return blocked
+
+
+def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     if cfg.traversal == "brute":
         from truetrace_tpu.kernels.tri_mxu import any_hit_brute
         return any_hit_brute(scene.woop, ro, rd, t_max)
@@ -296,7 +306,19 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          n_trace, n_shadow) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         hit = _trace(scene, ro, rd, cfg)
-        hit_ok = (hit.tri >= 0) & alive
+        # terrain heightfield: the reference runs kernel_heightmap after
+        # kernel_trace against the same hit records
+        # (RayTracingMaster.cs:975); here we march it and keep the nearer t
+        if scene.terrain is not None:
+            from truetrace_tpu.kernels.heightmap import (
+                heightmap_closest, sample_layers)
+            th = heightmap_closest(scene.terrain, ro, rd, hit.t)
+            ter_take = alive & th.valid & (th.t < hit.t)
+            hit = Hit(t=jnp.where(ter_take, th.t, hit.t), tri=hit.tri,
+                      u=hit.u, v=hit.v)
+        else:
+            ter_take = jnp.zeros((R,), bool)
+        hit_ok = ((hit.tri >= 0) | ter_take) & alive
 
         # ---- miss: environment (MIS against env NEE when it is active)
         if has_env_tex:
@@ -312,7 +334,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         else:
             env_rgb = scene.env.image[0, 0] * scene.env.intensity
         radiance = radiance + jnp.where(
-            (alive & ~(hit.tri >= 0))[..., None],
+            (alive & ~(hit.tri >= 0) & ~ter_take)[..., None],
             throughput * env_rgb, 0.0)
 
         tid = jnp.maximum(hit.tri, 0)
@@ -331,7 +353,33 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         sn = jnp.where((dot(sn, rd) > 0.0)[..., None], -sn, sn)
 
         mid = scene.tri_mat[tid]
+        if scene.terrain is not None:
+            # terrain lanes: heightfield normal + dominant-layer material id
+            tn = th.normal
+            tn = jnp.where((dot(tn, rd) > 0.0)[..., None], -tn, tn)
+            gn = jnp.where(ter_take[..., None], tn, gn)
+            sn = jnp.where(ter_take[..., None], tn, sn)
+            front = jnp.where(ter_take, True, front)
+            layer_w = sample_layers(scene.terrain, th.uv)      # [R,4]
+            dom = jnp.argmax(layer_w, axis=-1)
+            mid = jnp.where(ter_take,
+                            jnp.maximum(scene.terrain.mat_ids[dom], 0), mid)
         mat = gather_material(scene.materials, mid)
+        if scene.terrain is not None:
+            # blend the continuous Disney params over the up-to-4 layers
+            # (reference terrain layer blending,
+            # RayTracingShader.compute:587-616)
+            rows = gather_material(
+                scene.materials, jnp.maximum(scene.terrain.mat_ids, 0))
+
+            def _blend(cur, lay):
+                if lay.dtype.kind != "f":
+                    return cur                       # tex ids: dominant layer
+                mix = jnp.einsum("rk,k...->r...", layer_w, lay)
+                keep = ter_take.reshape((R,) + (1,) * (cur.ndim - 1))
+                return jnp.where(keep, mix, cur)
+
+            mat = jax.tree_util.tree_map(_blend, mat, rows)
 
         # ---- texture fetches (atlas; reference samples its packed atlas
         # rects in kernel_shade, RayTracingShader.compute:630-649)
@@ -340,6 +388,8 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             uv0 = scene.tri_uv[tid]
             uv = (uv0[:, 0] * w[..., None] + uv0[:, 1] * hit.u[..., None]
                   + uv0[:, 2] * hit.v[..., None])
+            if scene.terrain is not None:
+                uv = jnp.where(ter_take[..., None], th.uv, uv)
             alb = sample_atlas(scene.atlas, scene.atlas_rects,
                                mat.tex_albedo, uv)
             mat = mat.replace(base_color=jnp.where(

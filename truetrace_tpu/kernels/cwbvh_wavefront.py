@@ -173,148 +173,251 @@ def _meta_at(meta0, meta1, slot):
     return (word >> sh) & U32(0xFF)
 
 
-def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
-              max_stack: int, root=0):
-    R = ro.shape[0]
-    T = tri_triple.shape[0]
-    C = nodes.shape[0]
-    # unified table: ONE gather per iteration serves both the descending
-    # lanes (node row) and the leaf lanes (triple row) — see pack_unified
-    unified = jnp.concatenate(
+_GROUP_KEYS = ("gmask", "gbc", "gbt", "gm0", "gm1", "gim")
+_PLANE_KEYS = ("pmask", "pbc", "pbt", "pm0", "pm1", "pim")
+
+
+def _pack_table(nodes, tri_triple):
+    """Device-side pack_unified (see module docstring)."""
+    return jnp.concatenate(
         [jnp.pad(nodes, ((0, 0), (0, 16))),
          jax.lax.bitcast_convert_type(tri_triple, jnp.uint32)], axis=0)
+
+
+def _init_state(nodes, ro, rd, t_max, root, max_stack):
+    """Per-ray traversal state as a flat dict of [R,...] arrays, so the
+    cascade can permute/compact it uniformly."""
+    R = ro.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12,
                              jnp.where(rd >= 0, 1e-12, -1e-12), rd)
     # near-octant key: bit k set where rd[k] < 0
     oct_key = ((rd[:, 0] < 0).astype(U32)
                | ((rd[:, 1] < 0).astype(U32) << 1)
                | ((rd[:, 2] < 0).astype(U32) << 2))
-
     t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,)
                               ).astype(jnp.float32)
-    tri_best = jnp.full((R,), -1, jnp.int32)
-    u_best = jnp.zeros((R,), jnp.float32)
-    v_best = jnp.zeros((R,), jnp.float32)
-
     # enter the root (an aggregated multi-BLAS buffer roots an instance's
     # subtree at its node_offset)
     root_ids = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (R,))
     cur = _decode_and_slab(nodes, root_ids, ro, rd, inv_rd, t_best)
     zero_u = jnp.zeros((R, max_stack), U32)
     zero_i = jnp.zeros((R, max_stack), jnp.int32)
-    planes = dict(mask=zero_u, base_child=zero_i, base_tri=zero_i,
-                  meta0=zero_u, meta1=zero_u, imask=zero_u)
-    sp = jnp.zeros((R,), jnp.int32)
-
-    def cond(st):
-        cur, planes, sp, *_ = st
-        return jnp.any((cur.mask != 0) | (sp > 0))
-
-    def body(st):
-        cur, planes, sp, t_best, tri_best, u_best, v_best = st
-
-        # ---- 1. pop a saved group where the current one is exhausted
-        pop = (cur.mask == 0) & (sp > 0)
-        popped = _Group(mask=planes["mask"][:, 0],
-                        base_child=planes["base_child"][:, 0],
-                        base_tri=planes["base_tri"][:, 0],
-                        meta0=planes["meta0"][:, 0],
-                        meta1=planes["meta1"][:, 0],
-                        imask=planes["imask"][:, 0])
-        cur = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(pop, new, old), popped, cur)
-        sp = sp - pop.astype(jnp.int32)
-        pop_planes = {k: _shift_pop(v) for k, v in planes.items()}
-
-        # ---- 2. extract next slot (near-to-far octant order)
-        active = cur.mask != 0
-        slot, mask_rest = _extract_slot(cur.mask, oct_key)
-        is_int = ((cur.imask >> slot.astype(U32)) & U32(1)) == 1
-        meta_s = _meta_at(cur.meta0, cur.meta1, slot)
-
-        # ---- 3. THE gather: leaf lanes fetch their triple row, descending
-        # lanes fetch their child-node row — one unified-table access
-        leaf_lane = active & ~is_int
-        off = (meta_s & U32(0x1F)).astype(jnp.int32)
-        count = jax.lax.population_count(meta_s >> 5).astype(jnp.int32)
-        t0i = jnp.clip(cur.base_tri + off, 0, T - 1)
-        below = cur.imask & ((U32(1) << slot.astype(U32)) - U32(1))
-        rank = jax.lax.population_count(below).astype(jnp.int32)
-        child = jnp.clip(cur.base_child + rank, 0, C - 1)
-        descend = active & is_int
-        row_idx = jnp.where(leaf_lane, C + t0i,
-                            jnp.where(descend, child, 0))
-        row = unified[row_idx]                              # [R,36] u32
-
-        # ---- 3a. leaf slots: <=3 Moller tests on the fetched triple
-        trip = jax.lax.bitcast_convert_type(row, jnp.float32)
-        for j in range(3):
-            base = 12 * j
-            p0 = trip[:, base + 0:base + 3]
-            e1 = trip[:, base + 3:base + 6]
-            e2 = trip[:, base + 6:base + 9]
-            # Moller-Trumbore
-            pv = jnp.cross(rd, e2)
-            det = jnp.sum(e1 * pv, axis=-1)
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            tv = ro - p0
-            u = jnp.sum(tv * pv, axis=-1) * inv_det
-            qv = jnp.cross(tv, e1)
-            v = jnp.sum(rd * qv, axis=-1) * inv_det
-            th = jnp.sum(e2 * qv, axis=-1) * inv_det
-            ok = (leaf_lane & (j < count) & (u >= 0) & (v >= 0)
-                  & (u + v <= 1) & (th > 1e-4) & (th < t_best)
-                  & (jnp.abs(det) > 1e-12))
-            t_best = jnp.where(ok, th, t_best)
-            tri_best = jnp.where(ok, t0i + j, tri_best)
-            u_best = jnp.where(ok, u, u_best)
-            v_best = jnp.where(ok, v, v_best)
-
-        # ---- 3b. internal slots: descend into the child
-        push = descend & (mask_rest != 0)
-
-        # stack update: pop applies first, then push on the popped state
-        # (a lane may pop AND push in one iteration — pushing onto the
-        # pre-pop stack would resurrect the popped entry and drop the
-        # deepest one)
-        saved = cur._replace(mask=mask_rest)
-        new_planes = {}
-        for k, plane in planes.items():
-            base = jnp.where(pop[:, None], pop_planes[k], plane)
-            pushed = _shift_push(base, getattr(saved, k).astype(plane.dtype))
-            new_planes[k] = jnp.where(push[:, None], pushed, base)
-        planes = new_planes
-        sp = sp + push.astype(jnp.int32)
-
-        # decode + slab the child row for descending lanes (no extra
-        # gather — `row` already holds it; leaf lanes' rows are garbage
-        # as node data but fully masked out by `descend`)
-        child_grp = _decode_rows_and_slab(row[:, :20], ro, rd, inv_rd,
-                                          t_best)
-        cur = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(descend, new, old), child_grp,
-            cur._replace(mask=jnp.where(active, mask_rest, cur.mask)))
-
-        if any_hit:
-            found = tri_best >= 0
-            cur = cur._replace(mask=jnp.where(found, U32(0), cur.mask))
-            sp = jnp.where(found, 0, sp)
-
-        return cur, planes, sp, t_best, tri_best, u_best, v_best
-
-    st = (cur, planes, sp, t_best, tri_best, u_best, v_best)
-    st = jax.lax.while_loop(cond, body, st)
-    return Hit(t=st[3], tri=st[4], u=st[5], v=st[6])
+    return dict(
+        ro=ro, rd=rd, inv=inv_rd, oct=oct_key,
+        gmask=cur.mask, gbc=cur.base_child, gbt=cur.base_tri,
+        gm0=cur.meta0, gm1=cur.meta1, gim=cur.imask,
+        pmask=zero_u, pbc=zero_i, pbt=zero_i,
+        pm0=zero_u, pm1=zero_u, pim=zero_u,
+        sp=jnp.zeros((R,), jnp.int32),
+        t=t_best, tri=jnp.full((R,), -1, jnp.int32),
+        u=jnp.zeros((R,), jnp.float32), v=jnp.zeros((R,), jnp.float32),
+        orig=jnp.arange(R, dtype=jnp.int32),
+    )
 
 
-@partial(jax.jit, static_argnames=("max_stack",))
+def _active(st):
+    return (st["gmask"] != 0) | (st["sp"] > 0)
+
+
+def _step(unified, T, C, any_hit, st):
+    """One lock-step traversal iteration over the state dict (the loop body
+    described in the module docstring)."""
+    ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
+    cur = _Group(mask=st["gmask"], base_child=st["gbc"], base_tri=st["gbt"],
+                 meta0=st["gm0"], meta1=st["gm1"], imask=st["gim"])
+    planes = dict(mask=st["pmask"], base_child=st["pbc"], base_tri=st["pbt"],
+                  meta0=st["pm0"], meta1=st["pm1"], imask=st["pim"])
+    sp = st["sp"]
+    t_best, tri_best, u_best, v_best = st["t"], st["tri"], st["u"], st["v"]
+
+    # ---- 1. pop a saved group where the current one is exhausted
+    pop = (cur.mask == 0) & (sp > 0)
+    popped = _Group(mask=planes["mask"][:, 0],
+                    base_child=planes["base_child"][:, 0],
+                    base_tri=planes["base_tri"][:, 0],
+                    meta0=planes["meta0"][:, 0],
+                    meta1=planes["meta1"][:, 0],
+                    imask=planes["imask"][:, 0])
+    cur = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(pop, new, old), popped, cur)
+    sp = sp - pop.astype(jnp.int32)
+    pop_planes = {k: _shift_pop(v) for k, v in planes.items()}
+
+    # ---- 2. extract next slot (near-to-far octant order)
+    active = cur.mask != 0
+    slot, mask_rest = _extract_slot(cur.mask, oct_key)
+    is_int = ((cur.imask >> slot.astype(U32)) & U32(1)) == 1
+    meta_s = _meta_at(cur.meta0, cur.meta1, slot)
+
+    # ---- 3. THE gather: leaf lanes fetch their triple row, descending
+    # lanes fetch their child-node row — one unified-table access
+    leaf_lane = active & ~is_int
+    off = (meta_s & U32(0x1F)).astype(jnp.int32)
+    count = jax.lax.population_count(meta_s >> 5).astype(jnp.int32)
+    t0i = jnp.clip(cur.base_tri + off, 0, T - 1)
+    below = cur.imask & ((U32(1) << slot.astype(U32)) - U32(1))
+    rank = jax.lax.population_count(below).astype(jnp.int32)
+    child = jnp.clip(cur.base_child + rank, 0, C - 1)
+    descend = active & is_int
+    row_idx = jnp.where(leaf_lane, C + t0i,
+                        jnp.where(descend, child, 0))
+    row = unified[row_idx]                              # [R,36] u32
+
+    # ---- 3a. leaf slots: <=3 Moller tests on the fetched triple
+    trip = jax.lax.bitcast_convert_type(row, jnp.float32)
+    for j in range(3):
+        base = 12 * j
+        p0 = trip[:, base + 0:base + 3]
+        e1 = trip[:, base + 3:base + 6]
+        e2 = trip[:, base + 6:base + 9]
+        # Moller-Trumbore
+        pv = jnp.cross(rd, e2)
+        det = jnp.sum(e1 * pv, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tv = ro - p0
+        u = jnp.sum(tv * pv, axis=-1) * inv_det
+        qv = jnp.cross(tv, e1)
+        v = jnp.sum(rd * qv, axis=-1) * inv_det
+        th = jnp.sum(e2 * qv, axis=-1) * inv_det
+        ok = (leaf_lane & (j < count) & (u >= 0) & (v >= 0)
+              & (u + v <= 1) & (th > 1e-4) & (th < t_best)
+              & (jnp.abs(det) > 1e-12))
+        t_best = jnp.where(ok, th, t_best)
+        tri_best = jnp.where(ok, t0i + j, tri_best)
+        u_best = jnp.where(ok, u, u_best)
+        v_best = jnp.where(ok, v, v_best)
+
+    # ---- 3b. internal slots: descend into the child
+    push = descend & (mask_rest != 0)
+
+    # stack update: pop applies first, then push on the popped state
+    # (a lane may pop AND push in one iteration — pushing onto the
+    # pre-pop stack would resurrect the popped entry and drop the
+    # deepest one)
+    saved = cur._replace(mask=mask_rest)
+    new_planes = {}
+    for k, plane in planes.items():
+        base = jnp.where(pop[:, None], pop_planes[k], plane)
+        pushed = _shift_push(base, getattr(saved, k).astype(plane.dtype))
+        new_planes[k] = jnp.where(push[:, None], pushed, base)
+    planes = new_planes
+    sp = sp + push.astype(jnp.int32)
+
+    # decode + slab the child row for descending lanes (no extra
+    # gather — `row` already holds it; leaf lanes' rows are garbage
+    # as node data but fully masked out by `descend`)
+    child_grp = _decode_rows_and_slab(row[:, :20], ro, rd, inv_rd,
+                                      t_best)
+    cur = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(descend, new, old), child_grp,
+        cur._replace(mask=jnp.where(active, mask_rest, cur.mask)))
+
+    if any_hit:
+        found = tri_best >= 0
+        cur = cur._replace(mask=jnp.where(found, U32(0), cur.mask))
+        sp = jnp.where(found, 0, sp)
+
+    return dict(st, gmask=cur.mask, gbc=cur.base_child, gbt=cur.base_tri,
+                gm0=cur.meta0, gm1=cur.meta1, gim=cur.imask,
+                pmask=planes["mask"], pbc=planes["base_child"],
+                pbt=planes["base_tri"], pm0=planes["meta0"],
+                pm1=planes["meta1"], pim=planes["imask"],
+                sp=sp, t=t_best, tri=tri_best, u=u_best, v=v_best)
+
+
+_ITER_CAP = 65536   # safety bound; reference caps at 1000 iters/ray
+                    # (IntersectionKernels.compute:155 `while(i++ < 1000)`)
+
+
+def _run_stage(unified, T, C, any_hit, st, target: int):
+    """Iterate until <= `target` lanes remain active (0 = run to done)."""
+    def cond(c):
+        s, it = c
+        n = jnp.sum(_active(s).astype(jnp.int32))
+        return (n > target) & (it < _ITER_CAP)
+
+    def body(c):
+        s, it = c
+        return _step(unified, T, C, any_hit, s), it + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
+
+
+def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
+              max_stack: int, root=0):
+    """Single-stage traversal (full batch lock-step until every ray done)."""
+    T, C = tri_triple.shape[0], nodes.shape[0]
+    unified = _pack_table(nodes, tri_triple)
+    st = _init_state(nodes, ro, rd, t_max, root, max_stack)
+    st = _run_stage(unified, T, C, any_hit, st, 0)
+    return Hit(t=st["t"], tri=st["tri"], u=st["u"], v=st["v"])
+
+
+def _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
+                      max_stack: int, root=0, stages: int = 8):
+    """Occupancy-cascade traversal.
+
+    The lock-step loop pays one full-width gather per iteration until the
+    LAST ray finishes, so stragglers dominate (the reference instead refills
+    idle threads from an atomic work queue — IntersectionKernels.compute:79).
+    The TPU version compacts instead: run until half the lanes retire, sort
+    actives to the front (sorts are ~free on TPU, BASELINE.md), continue at
+    half width. Retired rows are collected per stage and inverse-permuted at
+    the end — zero scatters."""
+    R = ro.shape[0]
+    T, C = tri_triple.shape[0], nodes.shape[0]
+    unified = _pack_table(nodes, tri_triple)
+    st = _init_state(nodes, ro, rd, t_max, root, max_stack)
+
+    retired = []
+    size = R
+    for _ in range(stages):
+        if size % 2 or size // 2 < 512:
+            break
+        st = _run_stage(unified, T, C, any_hit, st, size // 2)
+        act = _active(st)
+        # active lanes first (stable, so retired rows keep relative order)
+        perm = jnp.argsort(jnp.where(act, 0, 1), stable=True)
+        half = size // 2
+        keep, drop = perm[:half], perm[half:]
+        retired.append(tuple(st[k][drop] for k in ("orig", "t", "tri",
+                                                   "u", "v")))
+        st = {k: a[keep] for k, a in st.items()}
+        size = half
+    st = _run_stage(unified, T, C, any_hit, st, 0)
+    retired.append(tuple(st[k] for k in ("orig", "t", "tri", "u", "v")))
+
+    orig, t, tri, u, v = (jnp.concatenate(cols) for cols in zip(*retired))
+    inv = jnp.argsort(orig)
+    return Hit(t=t[inv], tri=tri[inv], u=u[inv], v=v[inv])
+
+
+# below this ray count the cascade's sort/compact overhead outweighs the
+# straggler savings; fall back to the single-stage loop
+_CASCADE_MIN_RAYS = 4096
+
+
+def _dispatch(nodes, tri_triple, ro, rd, t_max, any_hit, max_stack,
+              cascade):
+    R = ro.shape[0]
+    if cascade and R >= _CASCADE_MIN_RAYS:
+        return _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit,
+                                 max_stack)
+    return _traverse(nodes, tri_triple, ro, rd, t_max, any_hit, max_stack)
+
+
+@partial(jax.jit, static_argnames=("max_stack", "cascade"))
 def closest_hit_wavefront(nodes, tri_triple, ro, rd, t_max,
-                          max_stack: int = MAX_STACK) -> Hit:
-    return _traverse(nodes, tri_triple, ro, rd, t_max, False, max_stack)
+                          max_stack: int = MAX_STACK,
+                          cascade: bool = True) -> Hit:
+    return _dispatch(nodes, tri_triple, ro, rd, t_max, False, max_stack,
+                     cascade)
 
 
-@partial(jax.jit, static_argnames=("max_stack",))
+@partial(jax.jit, static_argnames=("max_stack", "cascade"))
 def any_hit_wavefront(nodes, tri_triple, ro, rd, t_max,
-                      max_stack: int = MAX_STACK):
-    hit = _traverse(nodes, tri_triple, ro, rd, t_max, True, max_stack)
+                      max_stack: int = MAX_STACK, cascade: bool = True):
+    hit = _dispatch(nodes, tri_triple, ro, rd, t_max, True, max_stack,
+                    cascade)
     return hit.tri >= 0

@@ -200,6 +200,10 @@ class Scene:
     lbvh_prim: jnp.ndarray    # [L] i32 leaf slot -> light index
     lbvh_trail: jnp.ndarray   # [L] u32 root->leaf bit trail per light index
 
+    # heightfield terrain (scene/terrain.py; reference TerrainObject +
+    # kernel_heightmap), optional
+    terrain: Optional[Any] = None
+
     def n_tris(self) -> int:
         return self.tri_p0.shape[0]
 

@@ -152,7 +152,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   atlas: Optional[np.ndarray] = None,
                   atlas_rects: Optional[np.ndarray] = None,
                   max_leaf: int = 4, with_cwbvh: bool = False,
-                  with_light_bvh: bool = False) -> Scene:
+                  with_light_bvh: bool = False, terrain=None) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS)."""
     tris = flatten_meshes(meshes)
     tri_box = aabb_ops.from_tris(
@@ -227,5 +227,5 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lights=lights if lights is not None else AnalyticLights.none(),
         env=env if env is not None else EnvMap.constant((0.0, 0.0, 0.0)),
         lbvh_nodes=lbvh_nodes, lbvh_info=lbvh_info, lbvh_prim=lbvh_prim,
-        lbvh_trail=lbvh_trail,
+        lbvh_trail=lbvh_trail, terrain=terrain,
     )
