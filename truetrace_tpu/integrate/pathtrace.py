@@ -407,6 +407,19 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             mat = mat.replace(emission=jnp.where(
                 (mat.tex_emission >= 0)[..., None],
                 mat.emission * em[:, :3], mat.emission))
+            if cam is not None:
+                # matcap: view-space-normal atlas lookup modulating the
+                # base color at the primary hit (reference matcap path,
+                # RayTracingShader.compute:129-159)
+                vx = dot(sn, cam.c2w[0, :3])
+                vy = dot(sn, cam.c2w[1, :3])
+                uv_m = jnp.stack([vx, vy], -1) * 0.5 + 0.5
+                mc = sample_atlas(scene.atlas, scene.atlas_rects,
+                                  mat.tex_matcap, uv_m)
+                use_mc = (mat.tex_matcap >= 0) & (b == 0)
+                mat = mat.replace(base_color=jnp.where(
+                    use_mc[..., None], mat.base_color * mc[:, :3],
+                    mat.base_color))
 
         # ---- primary-hit G-buffer
         first = (b == 0)

@@ -23,6 +23,7 @@ from truetrace_tpu.integrate.radiance_cache import (
 from truetrace_tpu.integrate.restir import ReSTIRState, restir_gi_step
 from truetrace_tpu.post.asvgf import ASVGFState, asvgf_step
 from truetrace_tpu.post.pipeline import Accumulator, PostConfig, postprocess
+from truetrace_tpu.post.recur import ReCurState, recur_denoise
 from truetrace_tpu.post.svgf import SVGFState, svgf_denoise
 from truetrace_tpu.scene.ir import Camera, Scene
 
@@ -37,7 +38,7 @@ class RendererConfig:
     traversal: str = "wavefront"
     light_sampling: str = "tree"
     use_nee: bool = True
-    denoiser: str = "none"          # none | svgf | asvgf
+    denoiser: str = "none"          # none | svgf | asvgf | recur
     use_restir: bool = False
     use_radiance_cache: bool = False
     cache_query_bounce: int = 2
@@ -60,6 +61,7 @@ class FrameState(NamedTuple):
     sample: jnp.ndarray                 # [] int32 next sample id
     svgf: Optional[SVGFState]
     asvgf: Optional[ASVGFState]
+    recur: Optional[ReCurState]
     restir: Optional[ReSTIRState]
     cache: Optional[RadianceCache]
     taa_history: Optional[jnp.ndarray]
@@ -82,6 +84,8 @@ class Renderer:
             svgf=SVGFState.create(h, w) if self.cfg.denoiser == "svgf"
             else None,
             asvgf=ASVGFState.create(h, w) if self.cfg.denoiser == "asvgf"
+            else None,
+            recur=ReCurState.create(h, w) if self.cfg.denoiser == "recur"
             else None,
             restir=ReSTIRState.create(h, w) if self.cfg.use_restir
             else None,
@@ -135,6 +139,12 @@ class Renderer:
                 st["normal"].reshape(h, w, 3),
                 st["depth"].reshape(h, w), state.svgf)
             new["svgf"] = svgf
+        elif cfg.denoiser == "recur" and st is not None:
+            frame, recur = recur_denoise(
+                frame, st["albedo"].reshape(h, w, 3),
+                st["normal"].reshape(h, w, 3),
+                st["depth"].reshape(h, w), state.recur)
+            new["recur"] = recur
 
         accum = state.accum.add(frame)
         display, taa_hist = postprocess(accum.image, cfg.post,

@@ -53,6 +53,9 @@ class MaterialTable:
     tex_normal: jnp.ndarray       # [M]
     tex_emission: jnp.ndarray     # [M]
     tex_rough_metal: jnp.ndarray  # [M]
+    tex_matcap: jnp.ndarray       # [M] view-normal-indexed matcap
+                                  # (reference calcFinalColor matcap path,
+                                  # RayTracingShader.compute:129-159)
 
     @staticmethod
     def make(n: int) -> "MaterialTable":
@@ -69,7 +72,7 @@ class MaterialTable:
             anisotropic=f(), subsurface=f(), diff_trans=f(), thin=f(),
             alpha=jnp.ones((n,), jnp.float32),
             tex_albedo=i(), tex_normal=i(), tex_emission=i(),
-            tex_rough_metal=i(),
+            tex_rough_metal=i(), tex_matcap=i(),
         )
 
     def n_materials(self) -> int:

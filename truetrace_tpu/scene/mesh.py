@@ -56,6 +56,7 @@ class HostMaterial:
     tex_normal: int = -1
     tex_emission: int = -1
     tex_rough_metal: int = -1
+    tex_matcap: int = -1
 
 
 def material_table(mats: List[HostMaterial]) -> MaterialTable:
@@ -79,6 +80,7 @@ def material_table(mats: List[HostMaterial]) -> MaterialTable:
         tex_albedo=icol("tex_albedo"), tex_normal=icol("tex_normal"),
         tex_emission=icol("tex_emission"),
         tex_rough_metal=icol("tex_rough_metal"),
+        tex_matcap=icol("tex_matcap"),
     )
 
 
