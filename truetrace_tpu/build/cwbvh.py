@@ -68,10 +68,26 @@ def _half_area(lo, hi):
     return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
 
 
-def build_cwbvh(bvh: BVH2, prim_box: np.ndarray) -> CWBVH:
+def build_cwbvh(bvh: BVH2, prim_box: np.ndarray,
+                use_native: bool = True) -> CWBVH:
     """bvh: binary BVH (ideally built with max_leaf<=3);
     prim_box: [T,2,3] primitive AABBs in the SAME order as bvh leaf slots
-    (i.e. already permuted by bvh.order)."""
+    (i.e. already permuted by bvh.order).
+
+    The C++ collapse (build/native/cwbvh.cpp, identical algorithm and
+    output) takes over for scenes big enough for Python overhead to
+    matter — the Python DP is ~15 s at 300k tris, the native one ~0.1 s."""
+    if use_native and bvh.order.shape[0] >= 20000:
+        from truetrace_tpu.build.native import build_cwbvh_native
+        out = build_cwbvh_native(bvh.box, bvh.left, bvh.count)
+        if out is not None:
+            (nodes, tri_index, leaf_start, depth, node_depth,
+             slot_child, slot_tri_base, slot_tri_count) = out
+            return CWBVH(nodes=nodes, tri_index=tri_index,
+                         leaf_start=leaf_start, depth=depth,
+                         node_depth=node_depth, slot_child=slot_child,
+                         slot_tri_base=slot_tri_base,
+                         slot_tri_count=slot_tri_count)
     n2 = bvh.n_nodes
     box = bvh.box.astype(np.float64)
     left = bvh.left

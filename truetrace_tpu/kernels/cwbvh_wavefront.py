@@ -2,34 +2,41 @@
 
 The first-cut traversal (kernels/cwbvh_ref.py) used per-ray stack *scatters*
 (`stack.at[ray, sp].set`), which XLA lowers to row-serialized scatter on TPU
-(~30 M updates/s — measured). This version is designed around the two
-operations the hardware actually does well:
+(~30 M updates/s — measured). This version is designed around what the
+hardware actually does well, with the cost model re-measured on v5e:
 
-* **gathers are the budget**: exactly ONE row-gather per loop iteration
-  from a unified [C+T, 36] table — descending lanes fetch their child-node
-  row, leaf lanes their 3-triangle "triple" row (mutually exclusive per
-  lane). (XLA row-gather measured ~80-240 M rows/s on v5e; row width is
-  free up to ~40 words, so node rows are padded to triple width.)
-* **stacks never scatter**: the per-ray stack is a set of [R, S] planes
-  whose top is always column 0; push = shift-right + write col 0, pop =
-  shift-left — pure `where`/`concat` vector ops.  Push and pop are
-  mutually exclusive per lane per iteration by construction.
+* **row gathers are cheap and bandwidth-bound** (~1.0-1.3 ns/row at 36-120
+  words — NOT latency-bound; see BASELINE.md), so the loop does exactly ONE
+  row-gather per iteration from a unified [C+T, 36] table — descending
+  lanes fetch their child-node row, leaf lanes their 3-triangle "triple"
+  row (mutually exclusive per lane).
+* **the real budget is VPU work per iteration** (stack shuffling, node
+  decode, slab tests). The per-ray traversal group is therefore packed
+  into THREE words — the classic CWBVH hits-mask encoding (Ylitie 2017,
+  the reference's own GPU layout: CommonData.cginc:641-707):
+      hits  u32: bits 24..31 = pending internal-child slots,
+                 bits 0..23  = pending triangles (bit i = tri base_tri+i)
+      chim  u32: base_child | imask << 24
+      btri  i32: base_index_triangle
+  so the stack is 3 shift-register planes instead of 6 and all meta
+  bookkeeping disappears after decode.
+* **stacks never scatter**: push = shift-right + write col 0, pop =
+  shift-left — pure `where`/`concat` vector ops.
+* **stragglers don't bill the whole batch**: the occupancy cascade
+  (closest/any entry points) compacts live rays to half width whenever
+  half the lanes retire (argsort is ~free on TPU), so the lock-step loop
+  pays for the *average* ray, not the worst (the reference instead refills
+  idle threads from an atomic work queue — IntersectionKernels.compute:79).
 
-Traversal scheme (one *child slot* processed per iteration, the reference's
-bitmask-group idea — IntersectionKernels.compute:155-252 — recast for
-lock-step SIMD):
-
-  state: decoded current node (base_child, base_tri, meta, imask) +
-         `mask` of not-yet-visited hit children + best-hit registers.
-  each iteration:
-    1. lanes with empty mask pop a full saved group from the stack planes.
-    2. extract the next child slot in near-to-far octant order
-       (argmin over set bits of slot^octant via XOR bit-swizzle + LSB).
-    3. leaf slots gather their 3-triangle "triple" row and run masked
-       Moller tests; internal slots gather + decode the child node, slab-
-       test its 8 quantized boxes against the current t_best, and make it
-       the new current group (saving the old group to the stack if it
-       still has pending children).
+Traversal scheme per iteration (tri-first, near-to-far octant order for
+node slots — IntersectionKernels.compute:155-252 recast for lock-step
+SIMD):
+  1. lanes with an empty group pop a saved group from the stack planes.
+  2. lanes with pending tri bits gather the triple row at the lowest set
+     bit and run up to 3 masked Moller tests (bit-gated).
+  3. other lanes extract the nearest pending node slot, gather + decode
+     the child node, slab-test its 8 quantized boxes against t_best, and
+     make it the new current group (saving the remainder if non-empty).
 
 The node layout contract is build/cwbvh.py's; triangle triples are built by
 `pack_tri_triples` (row t = tris t, t+1, t+2 -> one gather covers a leaf).
@@ -37,7 +44,6 @@ The node layout contract is build/cwbvh.py's; triangle triples are built by
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +53,7 @@ from truetrace_tpu.kernels.traverse_ref import Hit
 
 U32 = jnp.uint32
 MAX_STACK = 16        # one entry per tree level; CWBVH depth ~ log8(T)
+TRI_MASK = U32(0x00FFFFFF)
 
 
 def pack_tri_triples(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray
@@ -76,10 +83,6 @@ def pack_unified(nodes: np.ndarray, tri_triple: np.ndarray) -> np.ndarray:
     return out
 
 
-def _byte(w, k):
-    return (w >> U32(8 * k)) & U32(0xFF)
-
-
 def _xor_permute8(m, v):
     """Permute the bits of 8-bit mask m by position XOR v (vectorized)."""
     b = (v & U32(1)) > 0
@@ -101,80 +104,59 @@ def _extract_slot(mask, oct_key):
     return slot, mask & ~(U32(1) << slot.astype(U32))
 
 
-class _Group(NamedTuple):
-    mask: jnp.ndarray        # u32 pending child slots (already slab-culled)
-    base_child: jnp.ndarray  # i32
-    base_tri: jnp.ndarray    # i32
-    meta0: jnp.ndarray       # u32 meta bytes 0..3
-    meta1: jnp.ndarray       # u32 meta bytes 4..7
-    imask: jnp.ndarray       # u32
+def _decode_rows_to_group(w, ro, rd, inv_rd, t_best):
+    """Decode pre-gathered node rows [R,>=20] u32 + slab-test the 8
+    children. Returns the 3-word group (hits, chim, btri).
 
-
-def _decode_and_slab(nodes, idx, ro, rd, inv_rd, t_best):
-    """Gather node rows, decode, slab-test the 8 children. Returns _Group
-    (mask = hit children)."""
-    w = nodes[idx]                                 # [R,20] u32  (gather B)
-    return _decode_rows_and_slab(w, ro, rd, inv_rd, t_best)
-
-
-def _decode_rows_and_slab(w, ro, rd, inv_rd, t_best):
-    """Decode pre-gathered node rows [R,>=20] u32 + slab-test children.
-
-    All byte fields come from ONE u8 bitcast view (little-endian word
-    layout) instead of per-byte shift/mask chains — the decode is a large
-    share of the per-iteration VPU work."""
+    Everything is computed on full-width [R] columns (single-column slices
+    of the gathered rows + u32 shift/mask byte extraction). The "obvious"
+    [R,8]/[R,3]/u8-bitcast formulation costs ~2x in TPU relayout traffic —
+    measured, see BASELINE.md. Hit results of leaf slots are baked into the
+    low 24 tri bits (unary count << offset) and internal slots into the
+    high 8 bits — the reference's own GPU trick
+    (CommonData.cginc:641-707)."""
     R = w.shape[0]
-    b = jax.lax.bitcast_convert_type(w, jnp.uint8)     # [R,>=20,4]
-    p = jax.lax.bitcast_convert_type(w[:, 0:3], jnp.float32)
-    e_b = b[:, 3, 0:3].astype(U32)
-    scale = jax.lax.bitcast_convert_type(e_b << 23, jnp.float32)
-    imask = b[:, 3, 3].astype(U32)
-    base_child = w[:, 4].astype(jnp.int32)
-    base_tri = w[:, 5].astype(jnp.int32)
-    meta0 = w[:, 6]
-    meta1 = w[:, 7]
-    meta8 = jnp.concatenate([b[:, 6, :], b[:, 7, :]], axis=1)   # [R,8] u8
+    col = lambda k: w[:, k]
+    p = [jax.lax.bitcast_convert_type(col(k), jnp.float32) for k in range(3)]
+    w3 = col(3)
+    scale = [jax.lax.bitcast_convert_type(
+        ((w3 >> U32(8 * k)) & U32(0xFF)) << 23, jnp.float32)
+        for k in range(3)]
+    imask = w3 >> 24
+    base_child = col(4)
+    base_tri = col(5).astype(jnp.int32)
+    rox = [ro[:, k] for k in range(3)]
+    invx = [inv_rd[:, k] for k in range(3)]
+    m0, m1 = col(6), col(7)
 
-    tn = jnp.full((R, 8), -jnp.inf)
-    tf = jnp.full((R, 8), jnp.inf)
-    for axis in range(3):
-        qlo = jnp.concatenate([b[:, 8 + 2 * axis, :],
-                               b[:, 9 + 2 * axis, :]],
-                              axis=1).astype(jnp.float32)
-        qhi = jnp.concatenate([b[:, 14 + 2 * axis, :],
-                               b[:, 15 + 2 * axis, :]],
-                              axis=1).astype(jnp.float32)
-        lo = p[:, axis:axis + 1] + qlo * scale[:, axis:axis + 1]
-        hi = p[:, axis:axis + 1] + qhi * scale[:, axis:axis + 1]
-        t0 = (lo - ro[:, axis:axis + 1]) * inv_rd[:, axis:axis + 1]
-        t1 = (hi - ro[:, axis:axis + 1]) * inv_rd[:, axis:axis + 1]
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best[:, None]) \
-        & (meta8 != 0)
-    mask = jnp.sum(jnp.where(hit, U32(1) << jnp.arange(8, dtype=U32)[None, :],
-                             U32(0)), axis=-1).astype(U32)
-    return _Group(mask=mask, base_child=base_child, base_tri=base_tri,
-                  meta0=meta0, meta1=meta1, imask=imask)
-
-
-def _shift_pop(plane):
-    return jnp.concatenate([plane[:, 1:], plane[:, :1] * 0], axis=1)
-
-
-def _shift_push(plane, new_col):
-    return jnp.concatenate([new_col[:, None], plane[:, :-1]], axis=1)
+    hits = jnp.zeros((R,), U32)
+    for j in range(8):
+        sh = U32(8 * (j % 4))
+        m = ((m0 if j < 4 else m1) >> sh) & U32(0xFF)
+        tn = jnp.full((R,), -jnp.inf)
+        tf = jnp.full((R,), jnp.inf)
+        for axis in range(3):
+            lo_w = col((8 if j < 4 else 9) + 2 * axis)
+            hi_w = col((14 if j < 4 else 15) + 2 * axis)
+            qlo = ((lo_w >> sh) & U32(0xFF)).astype(jnp.float32)
+            qhi = ((hi_w >> sh) & U32(0xFF)).astype(jnp.float32)
+            lo = p[axis] + qlo * scale[axis]
+            hi = p[axis] + qhi * scale[axis]
+            t0 = (lo - rox[axis]) * invx[axis]
+            t1 = (hi - rox[axis]) * invx[axis]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best) & (m != 0)
+        # leaf slot j contributes unary(count) << offset (bits 0..23);
+        # internal slot j contributes bit 24+j (meta = 0b001_00000 | j)
+        is_int = ((imask >> j) & U32(1)) == 1
+        shift = jnp.where(is_int, U32(24 + j), m & U32(0x1F))
+        hits = hits | jnp.where(hitj, (m >> 5) << shift, U32(0))
+    chim = (base_child & TRI_MASK) | (imask << 24)
+    return hits, chim, base_tri
 
 
-def _meta_at(meta0, meta1, slot):
-    """meta byte for a dynamic slot [R]."""
-    word = jnp.where(slot < 4, meta0, meta1)
-    sh = (slot % 4).astype(U32) * U32(8)
-    return (word >> sh) & U32(0xFF)
-
-
-_GROUP_KEYS = ("gmask", "gbc", "gbt", "gm0", "gm1", "gim")
-_PLANE_KEYS = ("pmask", "pbc", "pbt", "pm0", "pm1", "pim")
+_GKEYS = ("hits", "chim", "btri")
 
 
 def _pack_table(nodes, tri_triple):
@@ -199,15 +181,14 @@ def _init_state(nodes, ro, rd, t_max, root, max_stack):
     # enter the root (an aggregated multi-BLAS buffer roots an instance's
     # subtree at its node_offset)
     root_ids = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (R,))
-    cur = _decode_and_slab(nodes, root_ids, ro, rd, inv_rd, t_best)
+    hits, chim, btri = _decode_rows_to_group(
+        nodes[root_ids], ro, rd, inv_rd, t_best)
     zero_u = jnp.zeros((R, max_stack), U32)
-    zero_i = jnp.zeros((R, max_stack), jnp.int32)
     return dict(
         ro=ro, rd=rd, inv=inv_rd, oct=oct_key,
-        gmask=cur.mask, gbc=cur.base_child, gbt=cur.base_tri,
-        gm0=cur.meta0, gm1=cur.meta1, gim=cur.imask,
-        pmask=zero_u, pbc=zero_i, pbt=zero_i,
-        pm0=zero_u, pm1=zero_u, pim=zero_u,
+        hits=hits, chim=chim, btri=btri,
+        phits=zero_u, pchim=zero_u, pbtri=jnp.zeros((R, max_stack),
+                                                    jnp.int32),
         sp=jnp.zeros((R,), jnp.int32),
         t=t_best, tri=jnp.full((R,), -1, jnp.int32),
         u=jnp.zeros((R,), jnp.float32), v=jnp.zeros((R,), jnp.float32),
@@ -216,113 +197,121 @@ def _init_state(nodes, ro, rd, t_max, root, max_stack):
 
 
 def _active(st):
-    return (st["gmask"] != 0) | (st["sp"] > 0)
+    return (st["hits"] != 0) | (st["sp"] > 0)
+
+
+def _shift_pop(plane):
+    return jnp.concatenate([plane[:, 1:], plane[:, :1] * 0], axis=1)
+
+
+def _shift_push(plane, new_col):
+    return jnp.concatenate([new_col[:, None], plane[:, :-1]], axis=1)
 
 
 def _step(unified, T, C, any_hit, st):
     """One lock-step traversal iteration over the state dict (the loop body
     described in the module docstring)."""
     ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
-    cur = _Group(mask=st["gmask"], base_child=st["gbc"], base_tri=st["gbt"],
-                 meta0=st["gm0"], meta1=st["gm1"], imask=st["gim"])
-    planes = dict(mask=st["pmask"], base_child=st["pbc"], base_tri=st["pbt"],
-                  meta0=st["pm0"], meta1=st["pm1"], imask=st["pim"])
-    sp = st["sp"]
+    hits, chim, btri, sp = st["hits"], st["chim"], st["btri"], st["sp"]
     t_best, tri_best, u_best, v_best = st["t"], st["tri"], st["u"], st["v"]
 
     # ---- 1. pop a saved group where the current one is exhausted
-    pop = (cur.mask == 0) & (sp > 0)
-    popped = _Group(mask=planes["mask"][:, 0],
-                    base_child=planes["base_child"][:, 0],
-                    base_tri=planes["base_tri"][:, 0],
-                    meta0=planes["meta0"][:, 0],
-                    meta1=planes["meta1"][:, 0],
-                    imask=planes["imask"][:, 0])
-    cur = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(pop, new, old), popped, cur)
+    pop = (hits == 0) & (sp > 0)
+    hits = jnp.where(pop, st["phits"][:, 0], hits)
+    chim = jnp.where(pop, st["pchim"][:, 0], chim)
+    btri = jnp.where(pop, st["pbtri"][:, 0], btri)
     sp = sp - pop.astype(jnp.int32)
-    pop_planes = {k: _shift_pop(v) for k, v in planes.items()}
 
-    # ---- 2. extract next slot (near-to-far octant order)
-    active = cur.mask != 0
-    slot, mask_rest = _extract_slot(cur.mask, oct_key)
-    is_int = ((cur.imask >> slot.astype(U32)) & U32(1)) == 1
-    meta_s = _meta_at(cur.meta0, cur.meta1, slot)
+    # ---- 2. choose work: pending tris first (shrinks t_best before more
+    # descents), else nearest node slot in octant order
+    tri_bits = hits & TRI_MASK
+    node_bits = hits >> 24
+    active = hits != 0
+    leaf_lane = active & (tri_bits != 0)
+    descend = active & ~leaf_lane
+
+    # leaf: lowest pending tri bit; one triple covers bits i..i+2
+    lsb = tri_bits & (~tri_bits + U32(1))
+    i_bit = jax.lax.population_count(lsb - U32(1)).astype(jnp.int32)
+    t0i = jnp.clip(btri + i_bit, 0, T - 1)
+
+    # node: extract nearest slot, child id = base + rank-in-imask
+    slot, node_rest = _extract_slot(node_bits, oct_key)
+    imask = chim >> 24
+    below = imask & ((U32(1) << slot.astype(U32)) - U32(1))
+    rank = jax.lax.population_count(below).astype(jnp.int32)
+    child = jnp.clip((chim & TRI_MASK).astype(jnp.int32) + rank, 0, C - 1)
 
     # ---- 3. THE gather: leaf lanes fetch their triple row, descending
     # lanes fetch their child-node row — one unified-table access
-    leaf_lane = active & ~is_int
-    off = (meta_s & U32(0x1F)).astype(jnp.int32)
-    count = jax.lax.population_count(meta_s >> 5).astype(jnp.int32)
-    t0i = jnp.clip(cur.base_tri + off, 0, T - 1)
-    below = cur.imask & ((U32(1) << slot.astype(U32)) - U32(1))
-    rank = jax.lax.population_count(below).astype(jnp.int32)
-    child = jnp.clip(cur.base_child + rank, 0, C - 1)
-    descend = active & is_int
-    row_idx = jnp.where(leaf_lane, C + t0i,
-                        jnp.where(descend, child, 0))
+    row_idx = jnp.where(leaf_lane, C + t0i, jnp.where(descend, child, 0))
     row = unified[row_idx]                              # [R,36] u32
 
-    # ---- 3a. leaf slots: <=3 Moller tests on the fetched triple
-    trip = jax.lax.bitcast_convert_type(row, jnp.float32)
+    # ---- 3a. leaf lanes: <=3 Moller tests, gated by their pending bits.
+    # Fully scalarized on [R] columns — [R,3] slices of the gathered row
+    # cost ~2x in relayout traffic (measured, BASELINE.md).
+    tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
+    tcol = lambda k: tripf[:, k]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     for j in range(3):
-        base = 12 * j
-        p0 = trip[:, base + 0:base + 3]
-        e1 = trip[:, base + 3:base + 6]
-        e2 = trip[:, base + 6:base + 9]
+        b = 12 * j
+        p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
+        e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
+        e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
         # Moller-Trumbore
-        pv = jnp.cross(rd, e2)
-        det = jnp.sum(e1 * pv, axis=-1)
+        pvx = rdy * e2z - rdz * e2y
+        pvy = rdz * e2x - rdx * e2z
+        pvz = rdx * e2y - rdy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
         inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-        tv = ro - p0
-        u = jnp.sum(tv * pv, axis=-1) * inv_det
-        qv = jnp.cross(tv, e1)
-        v = jnp.sum(rd * qv, axis=-1) * inv_det
-        th = jnp.sum(e2 * qv, axis=-1) * inv_det
-        ok = (leaf_lane & (j < count) & (u >= 0) & (v >= 0)
+        tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+        th = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        gate = ((tri_bits >> (i_bit + j).astype(U32)) & U32(1)) == 1
+        ok = (leaf_lane & gate & (u >= 0) & (v >= 0)
               & (u + v <= 1) & (th > 1e-4) & (th < t_best)
               & (jnp.abs(det) > 1e-12))
         t_best = jnp.where(ok, th, t_best)
         tri_best = jnp.where(ok, t0i + j, tri_best)
         u_best = jnp.where(ok, u, u_best)
         v_best = jnp.where(ok, v, v_best)
+    hits_leaf = hits & ~((U32(0b111) << i_bit.astype(U32)) & TRI_MASK)
 
-    # ---- 3b. internal slots: descend into the child
-    push = descend & (mask_rest != 0)
-
-    # stack update: pop applies first, then push on the popped state
-    # (a lane may pop AND push in one iteration — pushing onto the
-    # pre-pop stack would resurrect the popped entry and drop the
-    # deepest one)
-    saved = cur._replace(mask=mask_rest)
-    new_planes = {}
-    for k, plane in planes.items():
-        base = jnp.where(pop[:, None], pop_planes[k], plane)
-        pushed = _shift_push(base, getattr(saved, k).astype(plane.dtype))
-        new_planes[k] = jnp.where(push[:, None], pushed, base)
-    planes = new_planes
+    # ---- 3b. descending lanes: stack update then swap in the child.
+    # pop applies first, then push on the popped state (a lane may pop AND
+    # push in one iteration — pushing onto the pre-pop stack would
+    # resurrect the popped entry and drop the deepest one).
+    rest = node_rest << 24          # tri bits drained before any descent
+    push = descend & (node_rest != 0)
+    for key, saved in (("phits", rest), ("pchim", chim),
+                       ("pbtri", btri)):
+        plane = st[key]
+        based = jnp.where(pop[:, None], _shift_pop(plane), plane)
+        pushed = _shift_push(based, saved.astype(plane.dtype))
+        st[key] = jnp.where(push[:, None], pushed, based)
     sp = sp + push.astype(jnp.int32)
 
-    # decode + slab the child row for descending lanes (no extra
-    # gather — `row` already holds it; leaf lanes' rows are garbage
-    # as node data but fully masked out by `descend`)
-    child_grp = _decode_rows_and_slab(row[:, :20], ro, rd, inv_rd,
-                                      t_best)
-    cur = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(descend, new, old), child_grp,
-        cur._replace(mask=jnp.where(active, mask_rest, cur.mask)))
+    # decode + slab the child row for descending lanes (no extra gather —
+    # `row` already holds it; leaf lanes' rows are garbage as node data
+    # but fully masked out by `descend`)
+    c_hits, c_chim, c_btri = _decode_rows_to_group(row[:, :20], ro, rd,
+                                                   inv_rd, t_best)
+    hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
+    chim = jnp.where(descend, c_chim, chim)
+    btri = jnp.where(descend, c_btri, btri)
 
     if any_hit:
         found = tri_best >= 0
-        cur = cur._replace(mask=jnp.where(found, U32(0), cur.mask))
+        hits = jnp.where(found, U32(0), hits)
         sp = jnp.where(found, 0, sp)
 
-    return dict(st, gmask=cur.mask, gbc=cur.base_child, gbt=cur.base_tri,
-                gm0=cur.meta0, gm1=cur.meta1, gim=cur.imask,
-                pmask=planes["mask"], pbc=planes["base_child"],
-                pbt=planes["base_tri"], pm0=planes["meta0"],
-                pm1=planes["meta1"], pim=planes["imask"],
-                sp=sp, t=t_best, tri=tri_best, u=u_best, v=v_best)
+    return dict(st, hits=hits, chim=chim, btri=btri, sp=sp,
+                t=t_best, tri=tri_best, u=u_best, v=v_best)
 
 
 _ITER_CAP = 65536   # safety bound; reference caps at 1000 iters/ray
@@ -348,6 +337,7 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
               max_stack: int, root=0):
     """Single-stage traversal (full batch lock-step until every ray done)."""
     T, C = tri_triple.shape[0], nodes.shape[0]
+    assert C < (1 << 24), "chim packs base_child into 24 bits"
     unified = _pack_table(nodes, tri_triple)
     st = _init_state(nodes, ro, rd, t_max, root, max_stack)
     st = _run_stage(unified, T, C, any_hit, st, 0)
@@ -356,15 +346,7 @@ def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
 
 def _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
                       max_stack: int, root=0, stages: int = 8):
-    """Occupancy-cascade traversal.
-
-    The lock-step loop pays one full-width gather per iteration until the
-    LAST ray finishes, so stragglers dominate (the reference instead refills
-    idle threads from an atomic work queue — IntersectionKernels.compute:79).
-    The TPU version compacts instead: run until half the lanes retire, sort
-    actives to the front (sorts are ~free on TPU, BASELINE.md), continue at
-    half width. Retired rows are collected per stage and inverse-permuted at
-    the end — zero scatters."""
+    """Occupancy-cascade traversal (see module docstring)."""
     R = ro.shape[0]
     T, C = tri_triple.shape[0], nodes.shape[0]
     unified = _pack_table(nodes, tri_triple)
