@@ -30,9 +30,9 @@ BASELINE_MRAYS = 0.344
 
 def main():
     detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
-    # 32k-ray batches: measured sweet spot on v5e (stragglers in the
-    # lock-step wavefront grow with batch size; see BASELINE.md)
-    R = int(os.environ.get("BENCH_RAYS", str(1 << 15)))
+    # 64k-ray batches: measured sweet spot on v5e with the leaf-row table
+    # + occupancy cascade (see BASELINE.md)
+    R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     from truetrace_tpu.core import rng
@@ -53,9 +53,9 @@ def main():
                              pix.astype(jnp.int32), jit2)
 
     closest = jax.jit(lambda ro, rd: closest_hit_wavefront(
-        scene.cw_nodes, scene.cw_tri_triple, ro, rd, jnp.float32(1e30)))
+        scene.cw_nodes, scene.cw_leaf_rows, ro, rd, jnp.float32(1e30)))
     anyhit = jax.jit(lambda ro, rd, tm: any_hit_wavefront(
-        scene.cw_nodes, scene.cw_tri_triple, ro, rd, tm))
+        scene.cw_nodes, scene.cw_leaf_rows, ro, rd, tm))
 
     # bounce-like incoherent rays: cosine directions from primary hit points
     h = closest(ro_p, rd_p)

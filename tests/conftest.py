@@ -21,3 +21,16 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.local_device_count() == 8, (
     f"tests need the 8-device virtual CPU mesh, got {jax.devices()}")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Free compiled executables between test modules: the CPU XLA
+    backend has been observed to segfault in backend_compile_and_load
+    deep into the suite (accumulated compilation state), while every
+    module passes standalone."""
+    yield
+    jax.clear_caches()

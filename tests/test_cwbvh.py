@@ -105,10 +105,12 @@ def test_wavefront_matches_brute_force():
     agree with brute force on closest and any-hit, including same-iteration
     pop+push paths (deep trees)."""
     from truetrace_tpu.kernels.cwbvh_wavefront import (
-        any_hit_wavefront, closest_hit_wavefront, pack_tri_triples)
+        any_hit_wavefront, closest_hit_wavefront, pack_leaf_rows)
     _, cw, (p0f, e1f, e2f), _, _ = _build(2000, seed=7)
-    trip = jnp.asarray(pack_tri_triples(p0f, e1f, e2f))
-    nodes = jnp.asarray(cw.nodes)
+    nodes_l, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
+                                   cw.slot_tri_count, p0f, e1f, e2f)
+    trip = jnp.asarray(rows)
+    nodes = jnp.asarray(nodes_l)
     r = np.random.default_rng(8)
     R = 512
     ro = jnp.asarray(r.uniform(-15, 15, size=(R, 3)).astype(np.float32))

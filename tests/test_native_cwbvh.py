@@ -39,7 +39,7 @@ def test_native_traversal_correct():
     """Traversal over a native-built tree matches brute-force hits."""
     import jax.numpy as jnp
     from truetrace_tpu.kernels.cwbvh_wavefront import (
-        closest_hit_wavefront, pack_tri_triples)
+        closest_hit_wavefront, pack_leaf_rows)
 
     rng = np.random.default_rng(3)
     T = 25000     # above the native-dispatch threshold in build_cwbvh
@@ -52,14 +52,16 @@ def test_native_traversal_correct():
     cw = build_cwbvh(bvh, np.stack([lo, hi], 1)[bvh.order], use_native=True)
     order = bvh.order[cw.tri_index]
     p0o, e1o, e2o = p0[order], e1[order], e2[order]
-    trip = jnp.asarray(pack_tri_triples(p0o, e1o, e2o))
+    nodes_l, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
+                                   cw.slot_tri_count, p0o, e1o, e2o)
+    trip = jnp.asarray(rows)
 
     R = 512
     ro = jnp.asarray(rng.uniform(-6, 6, (R, 3)).astype(np.float32))
     d = rng.normal(size=(R, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rd = jnp.asarray(d)
-    hit = closest_hit_wavefront(jnp.asarray(cw.nodes), trip, ro, rd,
+    hit = closest_hit_wavefront(jnp.asarray(nodes_l), trip, ro, rd,
                                 jnp.float32(1e30))
     # brute force reference on a subsample
     from truetrace_tpu.kernels.tri_mxu import intersect_brute, pack_woop

@@ -8,7 +8,7 @@ from truetrace_tpu.build.refit import (
     deform_tris, level_worklists, refit_cwbvh)
 from truetrace_tpu.core import aabb
 from truetrace_tpu.kernels.cwbvh_wavefront import (
-    closest_hit_wavefront, pack_tri_triples)
+    closest_hit_wavefront, pack_leaf_rows)
 from truetrace_tpu.kernels.traverse_ref import brute_force_closest
 
 from tests.test_bvh2 import random_tris
@@ -27,18 +27,20 @@ def test_refit_identity_preserves_traversal():
     """Refitting with unchanged geometry must keep traversal exact."""
     cw, p0, e1, e2 = _build()
     levels = level_worklists(cw)
+    nodes_l, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
+                                   cw.slot_tri_count, p0, e1, e2)
     nodes2, root = refit_cwbvh(
-        jnp.asarray(cw.nodes), jnp.asarray(p0), jnp.asarray(e1),
+        jnp.asarray(nodes_l), jnp.asarray(p0), jnp.asarray(e1),
         jnp.asarray(e2), jnp.asarray(cw.slot_child),
         jnp.asarray(cw.slot_tri_base), jnp.asarray(cw.slot_tri_count),
         levels)
-    trip = jnp.asarray(pack_tri_triples(p0, e1, e2))
+    trip = jnp.asarray(rows)
     r = np.random.default_rng(1)
     R = 256
     ro = jnp.asarray(r.uniform(-15, 15, (R, 3)).astype(np.float32))
     rd = r.normal(size=(R, 3)).astype(np.float32)
     rd = jnp.asarray(rd / np.linalg.norm(rd, axis=-1, keepdims=True))
-    h_old = closest_hit_wavefront(jnp.asarray(cw.nodes), trip, ro, rd,
+    h_old = closest_hit_wavefront(jnp.asarray(nodes_l), trip, ro, rd,
                                   jnp.float32(1e30))
     h_new = closest_hit_wavefront(nodes2, trip, ro, rd, jnp.float32(1e30))
     assert np.array_equal(np.asarray(h_old.tri), np.asarray(h_new.tri))
@@ -65,13 +67,15 @@ def test_refit_after_deformation_matches_brute_force():
 
     np0, ne1, ne2 = deform_tris(jnp.asarray(p0), jnp.asarray(e1),
                                 jnp.asarray(e2), twist)
+    nodes_l, rows = pack_leaf_rows(
+        cw.nodes, cw.slot_tri_base, cw.slot_tri_count,
+        np.asarray(np0), np.asarray(ne1), np.asarray(ne2))
     nodes2, _ = refit_cwbvh(
-        jnp.asarray(cw.nodes), np0, ne1, ne2,
+        jnp.asarray(nodes_l), np0, ne1, ne2,
         jnp.asarray(cw.slot_child), jnp.asarray(cw.slot_tri_base),
         jnp.asarray(cw.slot_tri_count), levels)
 
-    trip = jnp.asarray(pack_tri_triples(np.asarray(np0), np.asarray(ne1),
-                                        np.asarray(ne2)))
+    trip = jnp.asarray(rows)
     r = np.random.default_rng(3)
     R = 384
     ro = jnp.asarray(r.uniform(-15, 15, (R, 3)).astype(np.float32))

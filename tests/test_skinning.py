@@ -7,7 +7,7 @@ from truetrace_tpu.build.cwbvh import build_cwbvh
 from truetrace_tpu.build.refit import level_worklists, refit_cwbvh
 from truetrace_tpu.core import aabb
 from truetrace_tpu.kernels.cwbvh_wavefront import (
-    closest_hit_wavefront, pack_tri_triples)
+    closest_hit_wavefront, pack_leaf_rows)
 from truetrace_tpu.kernels.traverse_ref import brute_force_closest
 from truetrace_tpu.scene.skinning import (
     bone_matrix, make_two_bone_cylinder, skin_vertices, skinned_tris)
@@ -50,13 +50,15 @@ def test_skinned_refit_traversal_matches_brute_force():
                        bone_matrix((1, 0, 0), 0.9, (0, 1.0, 0))])
     np0, ne1, ne2 = skinned_tris(mesh, bones)
     np0, ne1, ne2 = np0[perm], ne1[perm], ne2[perm]
+    nodes_l, rows = pack_leaf_rows(
+        cw.nodes, cw.slot_tri_base, cw.slot_tri_count,
+        np.asarray(np0), np.asarray(ne1), np.asarray(ne2))
     nodes2, root = refit_cwbvh(
-        jnp.asarray(cw.nodes), np0, ne1, ne2,
+        jnp.asarray(nodes_l), np0, ne1, ne2,
         jnp.asarray(cw.slot_child), jnp.asarray(cw.slot_tri_base),
         jnp.asarray(cw.slot_tri_count), levels)
 
-    trip = jnp.asarray(pack_tri_triples(np.asarray(np0), np.asarray(ne1),
-                                        np.asarray(ne2)))
+    trip = jnp.asarray(rows)
     r = np.random.default_rng(5)
     R = 256
     ro = jnp.asarray(r.uniform(-4, 4, (R, 3)).astype(np.float32))

@@ -19,7 +19,7 @@ def _scene_with_video():
     frames[1, ..., 1] = 1.0
     frames[2, ..., 2] = 1.0
     vid = register_video(builder, frames, fps=10.0)
-    atlas, rects = builder.build()
+    atlas, rects, _ = builder.build()
 
     quad = HostMesh(
         positions=np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
@@ -67,7 +67,7 @@ def test_matcap_modulates_primary():
     mc = np.zeros((16, 16, 3), np.float32)
     mc[..., 0] = 1.0            # red matcap everywhere
     mc_id = builder.add(mc)
-    atlas, rects = builder.build()
+    atlas, rects, _ = builder.build()
 
     quad = HostMesh(
         positions=np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],

@@ -140,3 +140,109 @@ def deform_tris(tri_p0, tri_e1, tri_e2, transform_fn):
     v1 = transform_fn(tri_p0 + tri_e1)
     v2 = transform_fn(tri_p0 + tri_e2)
     return v0, v1 - v0, v2 - v0
+
+
+# ---------------------------------------------------------------------------
+# light-BVH refit (reference LightBVHRefitter.compute: RefitKernel /
+# LightRefitKernel — bottom-up cone unions + bounds per depth layer,
+# worklists from LightBVHBuilder's WorkingSet)
+# ---------------------------------------------------------------------------
+
+def light_level_worklists(info: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Node ids per depth (deepest first) for the light BVH layout of
+    build/lightbvh.py (info: leaf -> (first, count>0); internal ->
+    (left, -right))."""
+    N = info.shape[0]
+    depth = np.zeros(N, np.int32)
+    stack = [(0, 1)]
+    while stack:
+        n, d = stack.pop()
+        depth[n] = d
+        if info[n, 1] < 0:          # internal
+            stack.append((info[n, 0], d + 1))
+            stack.append((-info[n, 1], d + 1))
+    return tuple(np.nonzero(depth == lvl)[0].astype(np.int32)
+                 for lvl in range(depth.max(), 0, -1))
+
+
+def _cone_union_jax(a_axis, a_cos, b_axis, b_cos):
+    """Vectorized PBRT-4 DirectionCone::Union ([K,3]/[K] inputs)."""
+    a_cos = jnp.clip(a_cos, -1.0, 1.0)
+    b_cos = jnp.clip(b_cos, -1.0, 1.0)
+    t_a = jnp.arccos(a_cos)
+    t_b = jnp.arccos(b_cos)
+    d = jnp.arccos(jnp.clip(jnp.sum(a_axis * b_axis, -1), -1.0, 1.0))
+    a_holds = jnp.minimum(d + t_b, jnp.pi) <= t_a + 1e-6
+    b_holds = jnp.minimum(d + t_a, jnp.pi) <= t_b + 1e-6
+    theta_o = 0.5 * (t_a + d + t_b)
+    full = theta_o >= jnp.pi - 1e-6
+    # rotate a toward b by (theta_o - t_a)
+    c = jnp.cross(a_axis, b_axis)
+    s = jnp.linalg.norm(c, axis=-1, keepdims=True)
+    c_n = c / jnp.maximum(s, 1e-8)
+    ang = (theta_o - t_a)[..., None]
+    rot = (a_axis * jnp.cos(ang) + jnp.cross(c_n, a_axis) * jnp.sin(ang)
+           + c_n * jnp.sum(c_n * a_axis, -1, keepdims=True)
+           * (1 - jnp.cos(ang)))
+    rot = jnp.where(s < 1e-8, a_axis, rot)
+    axis = jnp.where(a_holds[..., None], a_axis,
+                     jnp.where(b_holds[..., None], b_axis, rot))
+    cos_o = jnp.where(a_holds, a_cos,
+                      jnp.where(b_holds, b_cos,
+                                jnp.where(full, -1.0, jnp.cos(theta_o))))
+    return axis, cos_o
+
+
+def refit_light_bvh(nodes, info: np.ndarray, prim: np.ndarray,
+                    tri_p0, tri_e1, tri_e2, light_tri_ids, power,
+                    levels: Tuple[np.ndarray, ...]):
+    """Recompute light-BVH node bounds/cones/power for moved emissive
+    triangles; topology (info/prim/trail) is untouched — exactly the
+    reference's GPU light refit. Returns new nodes [N,12].
+
+    nodes: current [N,12] (device); info/prim: host topology arrays;
+    light_tri_ids: [L] global tri ids (device or host); power: [L]."""
+    tid = jnp.asarray(light_tri_ids)[jnp.asarray(prim)]  # leaf slot -> tri
+    p0 = tri_p0[tid]
+    p1 = p0 + tri_e1[tid]
+    p2 = p0 + tri_e2[tid]
+    slot_lo = jnp.minimum(jnp.minimum(p0, p1), p2)
+    slot_hi = jnp.maximum(jnp.maximum(p0, p1), p2)
+    gn = jnp.cross(p1 - p0, p2 - p0)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True),
+                          1e-20)
+    slot_pow = jnp.asarray(power)[jnp.asarray(prim)]
+
+    info_j = jnp.asarray(info)
+    N = nodes.shape[0]
+    out = jnp.asarray(nodes)
+    for ids_np in levels:
+        if ids_np.size == 0:
+            continue
+        ids = jnp.asarray(ids_np)
+        is_leaf = info_j[ids, 1] > 0
+        first = info_j[ids, 0]
+        # leaves hold exactly one light (build MAX_LEAF=1)
+        l_lo = slot_lo[jnp.clip(first, 0, slot_lo.shape[0] - 1)]
+        l_hi = slot_hi[jnp.clip(first, 0, slot_lo.shape[0] - 1)]
+        l_ax = gn[jnp.clip(first, 0, slot_lo.shape[0] - 1)]
+        l_ph = slot_pow[jnp.clip(first, 0, slot_lo.shape[0] - 1)]
+        # internal: union of the two (already refit, deeper) children
+        lc = jnp.clip(info_j[ids, 0], 0, N - 1)
+        rc = jnp.clip(-info_j[ids, 1], 0, N - 1)
+        i_lo = jnp.minimum(out[lc, 0:3], out[rc, 0:3])
+        i_hi = jnp.maximum(out[lc, 3:6], out[rc, 3:6])
+        i_ax, i_cos = _cone_union_jax(out[lc, 6:9], out[lc, 9],
+                                      out[rc, 6:9], out[rc, 9])
+        i_ph = out[lc, 11] + out[rc, 11]
+        row = jnp.where(
+            is_leaf[:, None],
+            jnp.concatenate([l_lo, l_hi, l_ax,
+                             jnp.stack([jnp.ones_like(l_ph),
+                                        jnp.zeros_like(l_ph), l_ph], 1)],
+                            axis=1),
+            jnp.concatenate([i_lo, i_hi, i_ax,
+                             jnp.stack([i_cos, jnp.zeros_like(i_ph),
+                                        i_ph], 1)], axis=1))
+        out = out.at[ids].set(row.astype(jnp.float32))
+    return out

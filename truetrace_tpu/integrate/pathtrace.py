@@ -171,7 +171,7 @@ def _trace(scene: Scene, ro, rd, cfg: "RenderConfig") -> Hit:
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
         return closest_hit_wavefront(
-            scene.cw_nodes, scene.cw_tri_triple, ro, rd, T_MAX)
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, T_MAX)
     if cfg.traversal == "cwbvh":
         from truetrace_tpu.kernels.cwbvh_ref import closest_hit_cwbvh
         return closest_hit_cwbvh(
@@ -200,7 +200,7 @@ def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import any_hit_wavefront
         return any_hit_wavefront(
-            scene.cw_nodes, scene.cw_tri_triple, ro, rd, t_max)
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max)
     if cfg.traversal == "cwbvh":
         from truetrace_tpu.kernels.cwbvh_ref import any_hit_cwbvh
         return any_hit_cwbvh(
@@ -243,11 +243,16 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
                           jnp.uint32(rng.DIM_CAMERA_JITTER))
     ro, rd = camera_rays(cam, W, H, pixel.astype(jnp.int32), jit2,
                          lens_u=lens_u)
-    return trace_rays(scene, ro, rd, cfg, pixel, sid, cam=cam, cache=cache)
+    # per-pixel ray-cone spread (texture LOD; Amanatides/Akenine-Moller
+    # ray cones replace the reference's HW-derivative texture fetches)
+    spread0 = 2.0 * jnp.tan(cam.fov_y * 0.5) / H
+    return trace_rays(scene, ro, rd, cfg, pixel, sid, cam=cam, cache=cache,
+                      cone_spread=spread0)
 
 
 def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
-               cam: Optional[Camera] = None, cache=None):
+               cam: Optional[Camera] = None, cache=None,
+               cone_spread=None):
     """Path-trace explicit primary rays (lightmap baking, custom cameras,
     debugging probes). Returns (radiance [R,3], stats dict)."""
     R = ro.shape[0]
@@ -282,6 +287,11 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     c_tp = jnp.zeros((R, B, 3), jnp.float32)
     c_live = jnp.zeros((R, B), bool)
     cam_pos = cam.c2w[3, :3] if cam is not None else ro[0]
+    # ray cones for texture LOD: width at origin + spread per unit t
+    cone_w = jnp.zeros((R,), jnp.float32)
+    cone_s = jnp.broadcast_to(jnp.asarray(
+        cone_spread if cone_spread is not None else 0.002, jnp.float32),
+        (R,))
     prev_pdf = jnp.zeros((R,), jnp.float32)   # 0 => previous bounce not MIS-able
     prev_n = jnp.zeros((R, 3), jnp.float32)   # prev shading normal (tree pdf)
     n_trace = jnp.zeros((), jnp.float32)
@@ -300,7 +310,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
 
     def bounce(b, state):
         (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
-         g_albedo, g_normal, g_depth,
+         g_albedo, g_normal, g_depth, cone_w, cone_s,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
          c_hash, c_key, c_prefix, c_tp, c_live,
          n_trace, n_shadow) = state
@@ -390,8 +400,28 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                   + uv0[:, 2] * hit.v[..., None])
             if scene.terrain is not None:
                 uv = jnp.where(ter_take[..., None], th.uv, uv)
+            # tangent-space normal mapping (reference normal-map path,
+            # RayTracingShader.compute:129-159; tangents built like the
+            # CudaTriangle octahedral tangents, CommonVars.cs:437-456)
+            nm = sample_atlas(scene.atlas, scene.atlas_rects,
+                              mat.tex_normal, uv)
+            tan = scene.tri_tan[tid]
+            tan_ok = jnp.sum(tan * tan, axis=-1) > 1e-8
+            t_ = tan - sn * dot(tan, sn)[..., None]
+            t_ = t_ / jnp.maximum(
+                jnp.linalg.norm(t_, axis=-1, keepdims=True), 1e-8)
+            b_ = cross(sn, t_)
+            n_ts = nm[:, :3] * 2.0 - 1.0
+            sn_m = normalize(t_ * n_ts[:, 0:1] + b_ * n_ts[:, 1:2]
+                             + sn * jnp.maximum(n_ts[:, 2:3], 0.05))
+            use_nm = (mat.tex_normal >= 0) & tan_ok & hit_ok
+            sn = jnp.where(use_nm[..., None], sn_m, sn)
+            width = cone_w + hit.t * cone_s
+            lod = (scene.tri_lod[tid] + jnp.log2(jnp.maximum(width, 1e-12))
+                   - jnp.log2(jnp.maximum(jnp.abs(dot(rd, gn)), 0.05)))
             alb = sample_atlas(scene.atlas, scene.atlas_rects,
-                               mat.tex_albedo, uv)
+                               mat.tex_albedo, uv, lod=lod,
+                               level_y=scene.atlas_level_y)
             mat = mat.replace(base_color=jnp.where(
                 (mat.tex_albedo >= 0)[..., None],
                 mat.base_color * alb[:, :3], mat.base_color))
@@ -574,6 +604,9 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                            new_tp / jnp.maximum(q, 1e-9)[..., None], new_tp)
 
         alive = ok & survive & (jnp.max(new_tp, axis=-1) > 0.0)
+        cone_w = jnp.where(hit_ok, cone_w + hit.t * cone_s, cone_w)
+        cone_s = jnp.where(hit_ok, cone_s + 0.25 * mat.roughness ** 2,
+                           cone_s)
         side = jnp.where(dot(wi, gn) >= 0.0, 1.0, -1.0)
         ro = p + gn * (SHADOW_EPS * side[..., None])
         rd = wi
@@ -587,31 +620,31 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                               finite_or_zero(tp1), r_tp1)
             r_pdf1 = jnp.where(first, jnp.where(alive, pdf, 0.0), r_pdf1)
         return (ro, rd, radiance, throughput, alive, prev_pdf, sn,
-                g_albedo, g_normal, g_depth,
+                g_albedo, g_normal, g_depth, cone_w, cone_s,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
                 c_hash, c_key, c_prefix, c_tp, c_live,
                 n_trace, n_shadow)
 
     state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
-             g_albedo, g_normal, g_depth,
+             g_albedo, g_normal, g_depth, cone_w, cone_s,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
              c_hash, c_key, c_prefix, c_tp, c_live,
              n_trace, n_shadow)
     state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
-    stats = {"n_trace": state[23], "n_shadow": state[24],
+    stats = {"n_trace": state[25], "n_shadow": state[26],
              "albedo": state[7], "normal": state[8], "depth": state[9]}
     if cfg.restir_capture:
         stats.update({
-            "direct": state[10], "x2": state[11], "n2": state[12],
-            "tp1": state[13], "pdf1": state[14],
-            "cand_valid": state[15], "x1": state[16], "mat1": state[17],
-            "indirect": state[2] - state[10],
+            "direct": state[12], "x2": state[13], "n2": state[14],
+            "tp1": state[15], "pdf1": state[16],
+            "cand_valid": state[17], "x1": state[18], "mat1": state[19],
+            "indirect": state[2] - state[12],
         })
     if cfg.cache_capture:
         stats.update({
-            "cache_hash": state[18], "cache_key": state[19],
-            "cache_prefix": state[20], "cache_tp": state[21],
-            "cache_live": state[22],
+            "cache_hash": state[20], "cache_key": state[21],
+            "cache_prefix": state[22], "cache_tp": state[23],
+            "cache_live": state[24],
         })
     return state[2], stats
 

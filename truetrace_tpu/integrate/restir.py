@@ -79,11 +79,14 @@ def _jacobian(x1_from, x1_to, x2, n2):
 
 
 def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
-                   state: ReSTIRState, sample_id, n_spatial: int = 2):
-    """One ReSTIR GI frame. Returns (image [H,W,3], new_state).
+                   state: ReSTIRState, sample_id, n_spatial: int = 2,
+                   prev_cam: Camera = None):
+    """One ReSTIR GI frame. Returns (image [H,W,3], new_state, aux).
 
     image = direct lighting (path-traced, bounce 0) + reservoir-shaded
-    indirect. cfg.restir_capture must be True."""
+    indirect. cfg.restir_capture must be True. prev_cam: last frame's
+    camera — enables motion-vector history reprojection (post/motion.py);
+    None = static camera."""
     H, W = cfg.height, cfg.width
     pixel = jnp.arange(H * W, dtype=jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
@@ -117,21 +120,58 @@ def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
     def u(dim):
         return rng.uniform1(pix2, sid, jnp.uint32(dim)).astype(jnp.float32)
 
-    # ---- temporal merge (static-camera reprojection = identity; gates on
-    # the stored last-frame receiver G-buffer)
-    hist_ok = (jnp.sum(n1 * state.normal, axis=-1) > NORMAL_GATE) \
-        & (jnp.abs(depth - state.depth)
+    # ---- history reprojection (motion vectors from the camera pair —
+    # the reference's per-pixel motion reprojection, ReSTIRGI.compute:
+    # 120-160; static camera = identity)
+    prev = state
+    if prev_cam is not None:
+        from truetrace_tpu.post.motion import motion_vectors
+        mv = motion_vectors(prev_cam, cam, depth)
+        ys = jnp.clip((jnp.arange(H)[:, None] - mv[..., 1]).astype(jnp.int32),
+                      0, H - 1)
+        xs = jnp.clip((jnp.arange(W)[None, :] - mv[..., 0]).astype(jnp.int32),
+                      0, W - 1)
+        inb = ((jnp.arange(H)[:, None] - mv[..., 1] >= 0)
+               & (jnp.arange(H)[:, None] - mv[..., 1] < H)
+               & (jnp.arange(W)[None, :] - mv[..., 0] >= 0)
+               & (jnp.arange(W)[None, :] - mv[..., 0] < W))
+        prev = ReSTIRState(
+            x2=state.x2[ys, xs], n2=state.n2[ys, xs],
+            rad=state.rad[ys, xs],
+            M=jnp.where(inb, state.M[ys, xs], 0.0),
+            W=state.W[ys, xs],
+            normal=state.normal[ys, xs], depth=state.depth[ys, xs])
+
+    # ---- temporal merge, gated on the reprojected receiver G-buffer
+    hist_ok = (jnp.sum(n1 * prev.normal, axis=-1) > NORMAL_GATE) \
+        & (jnp.abs(depth - prev.depth)
            < DEPTH_GATE * jnp.maximum(depth, 1e-3)) \
-        & (state.M > 0)
-    M_prev = jnp.where(hist_ok, jnp.minimum(state.M, M_CAP), 0.0)
-    p_hat_prev = _p_hat(x1, n1, state.x2, state.rad)
-    wsum_prev = state.W * M_prev * p_hat_prev
+        & (prev.M > 0)
+    M_prev = jnp.where(hist_ok, jnp.minimum(prev.M, M_CAP), 0.0)
+
+    # ---- temporal validation (the reference's ExtraSampleValidation +
+    # gradient write, ReSTIRGI.compute:161-192): where this frame's fresh
+    # path re-found the SAME second vertex, a large luminance change means
+    # the stored radiance is stale -> drop the history and report a
+    # gradient for the denoiser's history clamp
+    same_x2 = (jnp.linalg.norm(x2_c - prev.x2, axis=-1)
+               < 0.02 * jnp.maximum(depth, 1.0)) & cand_ok & hist_ok
+    lum_old = luminance(prev.rad)
+    lum_new = luminance(L_cand)
+    denom = jnp.maximum(jnp.maximum(lum_old, lum_new), 1e-4)
+    gradient = jnp.where(same_x2,
+                         jnp.abs(lum_new - lum_old) / denom, 0.0)
+    stale = same_x2 & (gradient > 0.5)
+    M_prev = jnp.where(stale, 0.0, M_prev)
+
+    p_hat_prev = _p_hat(x1, n1, prev.x2, prev.rad)
+    wsum_prev = prev.W * M_prev * p_hat_prev
     wsum = wsum_prev + w_c
     take_c = (u(101) * jnp.maximum(wsum, 1e-20)) < w_c
     take_c = take_c | (M_prev <= 0)
-    res_x2 = jnp.where(take_c[..., None], x2_c, state.x2)
-    res_n2 = jnp.where(take_c[..., None], n2_c, state.n2)
-    res_rad = jnp.where(take_c[..., None], L_cand, state.rad)
+    res_x2 = jnp.where(take_c[..., None], x2_c, prev.x2)
+    res_n2 = jnp.where(take_c[..., None], n2_c, prev.n2)
+    res_rad = jnp.where(take_c[..., None], L_cand, prev.rad)
     res_M = M_prev + 1.0
     p_hat_sel = _p_hat(x1, n1, res_x2, res_rad)
     res_W = safe_div(wsum, res_M * jnp.maximum(p_hat_sel, 1e-9))
@@ -193,5 +233,6 @@ def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     new_state = ReSTIRState(x2=res_x2, n2=res_n2, rad=res_rad, M=res_M,
                             W=res_W, normal=n1, depth=depth)
-    aux = {"direct": direct, "indirect": indirect_img}
+    aux = {"direct": direct, "indirect": indirect_img,
+           "gradient": gradient}
     return img, new_state, aux

@@ -5,19 +5,21 @@ The first-cut traversal (kernels/cwbvh_ref.py) used per-ray stack *scatters*
 (~30 M updates/s — measured). This version is designed around what the
 hardware actually does well, with the cost model re-measured on v5e:
 
-* **row gathers are cheap and bandwidth-bound** (~1.0-1.3 ns/row at 36-120
-  words — NOT latency-bound; see BASELINE.md), so the loop does exactly ONE
-  row-gather per iteration from a unified [C+T, 36] table — descending
-  lanes fetch their child-node row, leaf lanes their 3-triangle "triple"
-  row (mutually exclusive per lane).
+* **the dependent gather is the floor**: a gather whose index comes from
+  the loop carry costs ~2.7 ns/row when the table fits the on-chip cache
+  (~30 MB on v5e) and ~10-43 ns/row beyond it (BASELINE.md). The loop does
+  exactly ONE row-gather per iteration from a unified [C+L, 30] table —
+  descending lanes fetch their child-node row, leaf lanes their packed
+  leaf row (mutually exclusive per lane) — and the leaf-row layout exists
+  precisely to keep that table under the cache cliff.
 * **the real budget is VPU work per iteration** (stack shuffling, node
   decode, slab tests). The per-ray traversal group is therefore packed
   into THREE words — the classic CWBVH hits-mask encoding (Ylitie 2017,
   the reference's own GPU layout: CommonData.cginc:641-707):
       hits  u32: bits 24..31 = pending internal-child slots,
-                 bits 0..23  = pending triangles (bit i = tri base_tri+i)
+                 bits 0..7   = pending leaf slots
       chim  u32: base_child | imask << 24
-      btri  i32: base_index_triangle
+      bleaf u32: base_leaf_row | leafmask << 24
   so the stack is 3 shift-register planes instead of 6 and all meta
   bookkeeping disappears after decode.
 * **stacks never scatter**: push = shift-right + write col 0, pop =
@@ -32,14 +34,19 @@ Traversal scheme per iteration (tri-first, near-to-far octant order for
 node slots — IntersectionKernels.compute:155-252 recast for lock-step
 SIMD):
   1. lanes with an empty group pop a saved group from the stack planes.
-  2. lanes with pending tri bits gather the triple row at the lowest set
-     bit and run up to 3 masked Moller tests (bit-gated).
+  2. lanes with pending leaf bits gather that slot's packed leaf row and
+     run its <=3 Moller tests (pad tris are degenerate + id-gated).
   3. other lanes extract the nearest pending node slot, gather + decode
      the child node, slab-test its 8 quantized boxes against t_best, and
      make it the new current group (saving the remainder if non-empty).
 
-The node layout contract is build/cwbvh.py's; triangle triples are built by
-`pack_tri_triples` (row t = tris t, t+1, t+2 -> one gather covers a leaf).
+The node layout contract is build/cwbvh.py's, with one post-pass
+(`pack_leaf_rows`): word 5 is rewritten from base_tri to base_leaf_row and
+the triangle table becomes PER-LEAF rows — 3 packed tris (degenerate-padded)
+plus their 3 global tri ids, 30 words. Only leaf starts are ever gathered,
+so this deduplicates the old per-tri triple table ~2.4x; together with the
+node rows the whole gather table fits the on-chip cache for Sponza-class
+scenes, which is worth ~4x on dependent-gather latency (BASELINE.md).
 """
 from __future__ import annotations
 
@@ -53,34 +60,63 @@ from truetrace_tpu.kernels.traverse_ref import Hit
 
 U32 = jnp.uint32
 MAX_STACK = 16        # one entry per tree level; CWBVH depth ~ log8(T)
-TRI_MASK = U32(0x00FFFFFF)
+PTR_MASK = U32(0x00FFFFFF)   # low 24 bits of chim/bleaf hold the base index
+LEAF_MASK = U32(0x000000FF)  # hits bits 0..7 = pending leaf slots
+ROW_W = 30                   # leaf row: 3x(p0,e1,e2) + 3 tri ids
 
 
-def pack_tri_triples(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray
-                     ) -> np.ndarray:
-    """[T,12] packed tris -> [T,36] rows of (tri t, t+1, t+2) so one gather
-    fetches a whole <=3-tri CWBVH leaf. Host-side (numpy)."""
-    T = p0.shape[0]
-    tri = np.concatenate([p0, e1, e2, np.zeros((T, 3), np.float32)],
-                         axis=1).astype(np.float32)      # [T,12]
-    i1 = np.minimum(np.arange(T) + 1, T - 1)
-    i2 = np.minimum(np.arange(T) + 2, T - 1)
-    return np.concatenate([tri, tri[i1], tri[i2]], axis=1)  # [T,36]
+def pack_leaf_rows(nodes: np.ndarray, slot_tri_base: np.ndarray,
+                   slot_tri_count: np.ndarray, p0: np.ndarray,
+                   e1: np.ndarray, e2: np.ndarray):
+    """Host post-pass: build the per-leaf row table and rewrite node word 5
+    to base_leaf_row.
 
-
-def pack_unified(nodes: np.ndarray, tri_triple: np.ndarray) -> np.ndarray:
-    """One [C+T, 36] uint32 table holding node rows (padded 20->36 words)
-    followed by triangle-triple rows (bitcast f32->u32).
-
-    A traversal iteration needs EITHER a child-node row (descending lanes)
-    OR a leaf-triple row (leaf lanes) — never both on the same lane — so a
-    unified table turns the loop body's two gathers into one. Row gather
-    cost is width-independent (measured), so the padding is free."""
+    slot_tri_base/slot_tri_count: [C,8] builder metadata; p0/e1/e2: [T,3]
+    triangles in CWBVH order. Returns (nodes_patched [C,20] u32,
+    leaf_rows [L,30] f32 — tri-id columns 27..29 are bitcast int32;
+    missing tris are degenerate (e=0 -> det=0, never hit) with id -1)."""
     C = nodes.shape[0]
-    out = np.zeros((C + tri_triple.shape[0], 36), np.uint32)
-    out[:C, :20] = nodes
-    out[C:] = tri_triple.view(np.uint32)
-    return out
+    T = p0.shape[0]
+    mask = slot_tri_count > 0                        # [C,8]
+    per_node = mask.sum(axis=1)
+    base_leaf = np.concatenate([[0], np.cumsum(per_node)[:-1]])
+    L = int(per_node.sum())
+    assert L < (1 << 24) and C < (1 << 24)
+    nodes2 = nodes.copy()
+    nodes2[:, 5] = base_leaf.astype(np.uint32)
+    sb = slot_tri_base[mask].astype(np.int64)        # [L] node-major order
+    scnt = slot_tri_count[mask]
+    rows = np.zeros((L, ROW_W), np.float32)
+    for j in range(3):
+        valid = (j < scnt)[:, None]
+        tid = np.clip(sb + j, 0, T - 1)
+        rows[:, 9 * j + 0: 9 * j + 3] = np.where(valid, p0[tid], 0.0)
+        rows[:, 9 * j + 3: 9 * j + 6] = np.where(valid, e1[tid], 0.0)
+        rows[:, 9 * j + 6: 9 * j + 9] = np.where(valid, e2[tid], 0.0)
+        rows.view(np.int32)[:, 27 + j] = np.where(
+            valid[:, 0], sb + j, -1).astype(np.int32)
+    return nodes2, rows
+
+
+def pack_leaf_rows_jax(slot_tri_base, slot_tri_count, p0, e1, e2):
+    """Device-side leaf-row rebuild for deformed geometry (skinning/refit):
+    same layout as pack_leaf_rows but from [L] flattened slot arrays
+    (slot_tri_base[mask], slot_tri_count[mask] — host-static) and jnp
+    triangle arrays. Jit-friendly."""
+    T = p0.shape[0]
+    sb = jnp.asarray(slot_tri_base, jnp.int32)
+    scnt = jnp.asarray(slot_tri_count, jnp.int32)
+    cols = []
+    ids = []
+    for j in range(3):
+        valid = (j < scnt)[:, None]
+        tid = jnp.clip(sb + j, 0, T - 1)
+        cols += [jnp.where(valid, p0[tid], 0.0),
+                 jnp.where(valid, e1[tid], 0.0),
+                 jnp.where(valid, e2[tid], 0.0)]
+        ids.append(jnp.where(valid[:, 0], sb + j, -1))
+    idf = jax.lax.bitcast_convert_type(jnp.stack(ids, axis=1), jnp.float32)
+    return jnp.concatenate(cols + [idf], axis=1)
 
 
 def _xor_permute8(m, v):
@@ -104,71 +140,137 @@ def _extract_slot(mask, oct_key):
     return slot, mask & ~(U32(1) << slot.astype(U32))
 
 
-def _decode_rows_to_group(w, ro, rd, inv_rd, t_best):
-    """Decode pre-gathered node rows [R,>=20] u32 + slab-test the 8
-    children. Returns the 3-word group (hits, chim, btri).
+def _bf16_down(x):
+    """f32 -> bf16 bits rounded toward -inf (conservative lower bound)."""
+    b = jax.lax.bitcast_convert_type(x, U32)
+    trunc = b & U32(0xFFFF0000)
+    rem = (b & U32(0xFFFF)) != 0
+    neg = (b >> 31) == 1
+    # negative: adding one bf16 ulp to the bit pattern grows the magnitude
+    return jnp.where(neg & rem, trunc + U32(0x10000), trunc)
 
-    Everything is computed on full-width [R] columns (single-column slices
-    of the gathered rows + u32 shift/mask byte extraction). The "obvious"
-    [R,8]/[R,3]/u8-bitcast formulation costs ~2x in TPU relayout traffic —
-    measured, see BASELINE.md. Hit results of leaf slots are baked into the
-    low 24 tri bits (unary count << offset) and internal slots into the
-    high 8 bits — the reference's own GPU trick
-    (CommonData.cginc:641-707)."""
-    R = w.shape[0]
-    col = lambda k: w[:, k]
-    p = [jax.lax.bitcast_convert_type(col(k), jnp.float32) for k in range(3)]
-    w3 = col(3)
-    scale = [jax.lax.bitcast_convert_type(
-        ((w3 >> U32(8 * k)) & U32(0xFF)) << 23, jnp.float32)
-        for k in range(3)]
+
+def _bf16_up(x):
+    """f32 -> bf16 bits rounded toward +inf (conservative upper bound)."""
+    b = jax.lax.bitcast_convert_type(x, U32)
+    trunc = b & U32(0xFFFF0000)
+    rem = (b & U32(0xFFFF)) != 0
+    neg = (b >> 31) == 1
+    return jnp.where(~neg & rem, trunc + U32(0x10000), trunc)
+
+
+def expand_nodes(nodes):
+    """Canonical 20-word quantized nodes -> 26-word traversal rows with
+    ABSOLUTE child bounds in conservative bf16 (2 per u32 word):
+
+      cols 0..23 : per axis (8 words each): lo[8 slots] as 4 words then
+                   hi[8 slots] as 4 words; slot j lives in word j>>1,
+                   half j&1 (low halfword = even slot)
+      col 24     : chim  = base_child | imask << 24
+      col 25     : bleaf = base_leaf  | leafmask << 24
+
+    This removes the per-iteration byte unpack + dequantize mul-add from
+    the hot loop (a ~40% decode saving — BASELINE.md); bf16 rounded
+    outward keeps the boxes conservative so traversal results are
+    IDENTICAL (empty slots get inverted boxes that never pass the slab).
+    Runs under jit (vectorized over nodes) — refit nodes re-expand
+    automatically at the next traversal call."""
+    C = nodes.shape[0]
+    w3 = nodes[:, 3]
     imask = w3 >> 24
-    base_child = col(4)
-    base_tri = col(5).astype(jnp.int32)
-    rox = [ro[:, k] for k in range(3)]
-    invx = [inv_rd[:, k] for k in range(3)]
-    m0, m1 = col(6), col(7)
-
-    hits = jnp.zeros((R,), U32)
+    m0, m1 = nodes[:, 6], nodes[:, 7]
+    out = [jnp.zeros((C,), U32) for _ in range(24)]
+    leafmask = jnp.zeros((C,), U32)
     for j in range(8):
         sh = U32(8 * (j % 4))
         m = ((m0 if j < 4 else m1) >> sh) & U32(0xFF)
+        is_int = ((imask >> j) & U32(1)) == 1
+        leafmask = leafmask | jnp.where((m != 0) & ~is_int,
+                                        U32(1 << j), U32(0))
+        for axis in range(3):
+            p = jax.lax.bitcast_convert_type(nodes[:, axis], jnp.float32)
+            scale = jax.lax.bitcast_convert_type(
+                ((w3 >> U32(8 * axis)) & U32(0xFF)) << 23, jnp.float32)
+            lo_w = nodes[:, (8 if j < 4 else 9) + 2 * axis]
+            hi_w = nodes[:, (14 if j < 4 else 15) + 2 * axis]
+            qlo = ((lo_w >> sh) & U32(0xFF)).astype(jnp.float32)
+            qhi = ((hi_w >> sh) & U32(0xFF)).astype(jnp.float32)
+            lo16 = _bf16_down(p + qlo * scale) >> 16
+            hi16 = _bf16_up(p + qhi * scale) >> 16
+            wi = 8 * axis + (j >> 1)
+            half = U32(16 * (j & 1))
+            out[wi] = out[wi] | (lo16 << half)
+            out[wi + 4] = out[wi + 4] | (hi16 << half)
+    chim = (nodes[:, 4] & PTR_MASK) | (imask << 24)
+    bleaf = (nodes[:, 5] & PTR_MASK) | (leafmask << 24)
+    return jnp.stack(out + [chim, bleaf], axis=1)
+
+
+def _decode_rows_to_group(w, ro, rd, inv_rd, t_best):
+    """Slab-test the 8 children of pre-gathered EXPANDED node rows
+    (expand_nodes layout). Returns the 3-word group:
+
+        hits  u32: bit j      = leaf slot j pending (j = 0..7)
+                   bit 24+j   = internal child slot j pending
+        chim  u32: base_child | imask << 24
+        bleaf u32: base_leaf_row | leafmask << 24
+                   (leafmask = occupied non-internal slots — the rank of a
+                    leaf bit in it addresses that slot's packed leaf row)
+
+    Everything is computed on full-width [R] columns (single-column slices
+    of the gathered rows; [R,8]/[R,3]/u8-bitcast formulations cost ~2x in
+    TPU relayout traffic — measured, see BASELINE.md)."""
+    R = w.shape[0]
+    col = lambda k: w[:, k]
+    chim = col(24)
+    bleaf = col(25)
+    imask = chim >> 24
+    occ = imask | (bleaf >> 24)
+    rox = [ro[:, k] for k in range(3)]
+    invx = [inv_rd[:, k] for k in range(3)]
+
+    hits = jnp.zeros((R,), U32)
+    for j in range(8):
+        wi = j >> 1
+        lo_sh = U32(16 * (j & 1))
         tn = jnp.full((R,), -jnp.inf)
         tf = jnp.full((R,), jnp.inf)
         for axis in range(3):
-            lo_w = col((8 if j < 4 else 9) + 2 * axis)
-            hi_w = col((14 if j < 4 else 15) + 2 * axis)
-            qlo = ((lo_w >> sh) & U32(0xFF)).astype(jnp.float32)
-            qhi = ((hi_w >> sh) & U32(0xFF)).astype(jnp.float32)
-            lo = p[axis] + qlo * scale[axis]
-            hi = p[axis] + qhi * scale[axis]
+            lo_w = col(8 * axis + wi)
+            hi_w = col(8 * axis + 4 + wi)
+            lo = jax.lax.bitcast_convert_type(
+                ((lo_w >> lo_sh) & U32(0xFFFF)) << 16, jnp.float32)
+            hi = jax.lax.bitcast_convert_type(
+                ((hi_w >> lo_sh) & U32(0xFFFF)) << 16, jnp.float32)
             t0 = (lo - rox[axis]) * invx[axis]
             t1 = (hi - rox[axis]) * invx[axis]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best) & (m != 0)
-        # leaf slot j contributes unary(count) << offset (bits 0..23);
-        # internal slot j contributes bit 24+j (meta = 0b001_00000 | j)
+        hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best) \
+            & (((occ >> j) & U32(1)) == 1)
         is_int = ((imask >> j) & U32(1)) == 1
-        shift = jnp.where(is_int, U32(24 + j), m & U32(0x1F))
-        hits = hits | jnp.where(hitj, (m >> 5) << shift, U32(0))
-    chim = (base_child & TRI_MASK) | (imask << 24)
-    return hits, chim, base_tri
+        bit = jnp.where(is_int, U32(1 << (24 + j)), U32(1 << j))
+        hits = hits | jnp.where(hitj, bit, U32(0))
+    return hits, chim, bleaf
 
 
-_GKEYS = ("hits", "chim", "btri")
-
-
-def _pack_table(nodes, tri_triple):
-    """Device-side pack_unified (see module docstring)."""
+def _pack_table(nodes, leaf_rows):
+    """One [C+L, 30] uint32 table: EXPANDED node rows (expand_nodes,
+    26->30 words) then leaf rows (bitcast f32->u32). A traversal iteration
+    needs EITHER a child-node row (descending lanes) OR a leaf row (leaf
+    lanes) — never both on the same lane — so a unified table keeps the
+    loop at one gather per iteration. Gather cost is width-free
+    (measured)."""
+    exp = expand_nodes(nodes)
     return jnp.concatenate(
-        [jnp.pad(nodes, ((0, 0), (0, 16))),
-         jax.lax.bitcast_convert_type(tri_triple, jnp.uint32)], axis=0)
+        [jnp.pad(exp, ((0, 0), (0, ROW_W - exp.shape[1]))),
+         jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32)], axis=0)
 
 
-def _init_state(nodes, ro, rd, t_max, root, max_stack):
+def _init_state(unified, ro, rd, t_max, root, max_stack):
     """Per-ray traversal state as a flat dict of [R,...] arrays, so the
-    cascade can permute/compact it uniformly."""
+    cascade can permute/compact it uniformly. `unified` is the packed
+    table from _pack_table (expanded node rows first)."""
     R = ro.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12,
                              jnp.where(rd >= 0, 1e-12, -1e-12), rd)
@@ -181,14 +283,13 @@ def _init_state(nodes, ro, rd, t_max, root, max_stack):
     # enter the root (an aggregated multi-BLAS buffer roots an instance's
     # subtree at its node_offset)
     root_ids = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (R,))
-    hits, chim, btri = _decode_rows_to_group(
-        nodes[root_ids], ro, rd, inv_rd, t_best)
+    hits, chim, bleaf = _decode_rows_to_group(
+        unified[root_ids], ro, rd, inv_rd, t_best)
     zero_u = jnp.zeros((R, max_stack), U32)
     return dict(
         ro=ro, rd=rd, inv=inv_rd, oct=oct_key,
-        hits=hits, chim=chim, btri=btri,
-        phits=zero_u, pchim=zero_u, pbtri=jnp.zeros((R, max_stack),
-                                                    jnp.int32),
+        hits=hits, chim=chim, bleaf=bleaf,
+        phits=zero_u, pchim=zero_u, pbleaf=zero_u,
         sp=jnp.zeros((R,), jnp.int32),
         t=t_best, tri=jnp.full((R,), -1, jnp.int32),
         u=jnp.zeros((R,), jnp.float32), v=jnp.zeros((R,), jnp.float32),
@@ -208,57 +309,61 @@ def _shift_push(plane, new_col):
     return jnp.concatenate([new_col[:, None], plane[:, :-1]], axis=1)
 
 
-def _step(unified, T, C, any_hit, st):
+def _step(unified, L, C, any_hit, st):
     """One lock-step traversal iteration over the state dict (the loop body
     described in the module docstring)."""
     ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
-    hits, chim, btri, sp = st["hits"], st["chim"], st["btri"], st["sp"]
+    hits, chim, bleaf, sp = st["hits"], st["chim"], st["bleaf"], st["sp"]
     t_best, tri_best, u_best, v_best = st["t"], st["tri"], st["u"], st["v"]
 
     # ---- 1. pop a saved group where the current one is exhausted
     pop = (hits == 0) & (sp > 0)
     hits = jnp.where(pop, st["phits"][:, 0], hits)
     chim = jnp.where(pop, st["pchim"][:, 0], chim)
-    btri = jnp.where(pop, st["pbtri"][:, 0], btri)
+    bleaf = jnp.where(pop, st["pbleaf"][:, 0], bleaf)
     sp = sp - pop.astype(jnp.int32)
 
-    # ---- 2. choose work: pending tris first (shrinks t_best before more
+    # ---- 2. choose work: pending leaves first (shrinks t_best before more
     # descents), else nearest node slot in octant order
-    tri_bits = hits & TRI_MASK
+    leaf_bits = hits & LEAF_MASK
     node_bits = hits >> 24
     active = hits != 0
-    leaf_lane = active & (tri_bits != 0)
+    leaf_lane = active & (leaf_bits != 0)
     descend = active & ~leaf_lane
 
-    # leaf: lowest pending tri bit; one triple covers bits i..i+2
-    lsb = tri_bits & (~tri_bits + U32(1))
-    i_bit = jax.lax.population_count(lsb - U32(1)).astype(jnp.int32)
-    t0i = jnp.clip(btri + i_bit, 0, T - 1)
+    # leaf: lowest pending slot bit; its rank among the node's leaf slots
+    # addresses the packed leaf row
+    lsb = leaf_bits & (~leaf_bits + U32(1))
+    leafmask = bleaf >> 24
+    lrank = jax.lax.population_count(leafmask & (lsb - U32(1))
+                                     ).astype(jnp.int32)
+    lrow = jnp.clip((bleaf & PTR_MASK).astype(jnp.int32) + lrank, 0, L - 1)
 
     # node: extract nearest slot, child id = base + rank-in-imask
     slot, node_rest = _extract_slot(node_bits, oct_key)
     imask = chim >> 24
     below = imask & ((U32(1) << slot.astype(U32)) - U32(1))
     rank = jax.lax.population_count(below).astype(jnp.int32)
-    child = jnp.clip((chim & TRI_MASK).astype(jnp.int32) + rank, 0, C - 1)
+    child = jnp.clip((chim & PTR_MASK).astype(jnp.int32) + rank, 0, C - 1)
 
-    # ---- 3. THE gather: leaf lanes fetch their triple row, descending
+    # ---- 3. THE gather: leaf lanes fetch their leaf row, descending
     # lanes fetch their child-node row — one unified-table access
-    row_idx = jnp.where(leaf_lane, C + t0i, jnp.where(descend, child, 0))
-    row = unified[row_idx]                              # [R,36] u32
+    row_idx = jnp.where(leaf_lane, C + lrow, jnp.where(descend, child, 0))
+    row = unified[row_idx]                              # [R,30] u32
 
-    # ---- 3a. leaf lanes: <=3 Moller tests, gated by their pending bits.
-    # Fully scalarized on [R] columns — [R,3] slices of the gathered row
-    # cost ~2x in relayout traffic (measured, BASELINE.md).
+    # ---- 3a. leaf lanes: <=3 Moller tests (pad tris are degenerate and
+    # id-gated). Fully scalarized on [R] columns — [R,3] slices of the
+    # gathered row cost ~2x in relayout traffic (measured, BASELINE.md).
     tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
     tcol = lambda k: tripf[:, k]
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     for j in range(3):
-        b = 12 * j
+        b = 9 * j
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
+        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
         # Moller-Trumbore
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
@@ -272,24 +377,23 @@ def _step(unified, T, C, any_hit, st):
         qvz = tvx * e1y - tvy * e1x
         v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
         th = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        gate = ((tri_bits >> (i_bit + j).astype(U32)) & U32(1)) == 1
-        ok = (leaf_lane & gate & (u >= 0) & (v >= 0)
+        ok = (leaf_lane & (tri_id >= 0) & (u >= 0) & (v >= 0)
               & (u + v <= 1) & (th > 1e-4) & (th < t_best)
               & (jnp.abs(det) > 1e-12))
         t_best = jnp.where(ok, th, t_best)
-        tri_best = jnp.where(ok, t0i + j, tri_best)
+        tri_best = jnp.where(ok, tri_id, tri_best)
         u_best = jnp.where(ok, u, u_best)
         v_best = jnp.where(ok, v, v_best)
-    hits_leaf = hits & ~((U32(0b111) << i_bit.astype(U32)) & TRI_MASK)
+    hits_leaf = hits & ~lsb
 
     # ---- 3b. descending lanes: stack update then swap in the child.
     # pop applies first, then push on the popped state (a lane may pop AND
     # push in one iteration — pushing onto the pre-pop stack would
     # resurrect the popped entry and drop the deepest one).
-    rest = node_rest << 24          # tri bits drained before any descent
+    rest = node_rest << 24          # leaf bits drained before any descent
     push = descend & (node_rest != 0)
     for key, saved in (("phits", rest), ("pchim", chim),
-                       ("pbtri", btri)):
+                       ("pbleaf", bleaf)):
         plane = st[key]
         based = jnp.where(pop[:, None], _shift_pop(plane), plane)
         pushed = _shift_push(based, saved.astype(plane.dtype))
@@ -299,18 +403,18 @@ def _step(unified, T, C, any_hit, st):
     # decode + slab the child row for descending lanes (no extra gather —
     # `row` already holds it; leaf lanes' rows are garbage as node data
     # but fully masked out by `descend`)
-    c_hits, c_chim, c_btri = _decode_rows_to_group(row[:, :20], ro, rd,
-                                                   inv_rd, t_best)
+    c_hits, c_chim, c_bleaf = _decode_rows_to_group(row, ro, rd,
+                                                    inv_rd, t_best)
     hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
     chim = jnp.where(descend, c_chim, chim)
-    btri = jnp.where(descend, c_btri, btri)
+    bleaf = jnp.where(descend, c_bleaf, bleaf)
 
     if any_hit:
         found = tri_best >= 0
         hits = jnp.where(found, U32(0), hits)
         sp = jnp.where(found, 0, sp)
 
-    return dict(st, hits=hits, chim=chim, btri=btri, sp=sp,
+    return dict(st, hits=hits, chim=chim, bleaf=bleaf, sp=sp,
                 t=t_best, tri=tri_best, u=u_best, v=v_best)
 
 
@@ -318,7 +422,7 @@ _ITER_CAP = 65536   # safety bound; reference caps at 1000 iters/ray
                     # (IntersectionKernels.compute:155 `while(i++ < 1000)`)
 
 
-def _run_stage(unified, T, C, any_hit, st, target: int):
+def _run_stage(unified, L, C, any_hit, st, target: int):
     """Iterate until <= `target` lanes remain active (0 = run to done)."""
     def cond(c):
         s, it = c
@@ -327,37 +431,38 @@ def _run_stage(unified, T, C, any_hit, st, target: int):
 
     def body(c):
         s, it = c
-        return _step(unified, T, C, any_hit, s), it + 1
+        return _step(unified, L, C, any_hit, s), it + 1
 
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st
 
 
-def _traverse(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
+def _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
               max_stack: int, root=0):
     """Single-stage traversal (full batch lock-step until every ray done)."""
-    T, C = tri_triple.shape[0], nodes.shape[0]
-    assert C < (1 << 24), "chim packs base_child into 24 bits"
-    unified = _pack_table(nodes, tri_triple)
-    st = _init_state(nodes, ro, rd, t_max, root, max_stack)
-    st = _run_stage(unified, T, C, any_hit, st, 0)
+    L, C = leaf_rows.shape[0], nodes.shape[0]
+    assert C < (1 << 24) and L < (1 << 24), \
+        "chim/bleaf pack base indices into 24 bits"
+    unified = _pack_table(nodes, leaf_rows)
+    st = _init_state(unified, ro, rd, t_max, root, max_stack)
+    st = _run_stage(unified, L, C, any_hit, st, 0)
     return Hit(t=st["t"], tri=st["tri"], u=st["u"], v=st["v"])
 
 
-def _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
+def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
                       max_stack: int, root=0, stages: int = 8):
     """Occupancy-cascade traversal (see module docstring)."""
     R = ro.shape[0]
-    T, C = tri_triple.shape[0], nodes.shape[0]
-    unified = _pack_table(nodes, tri_triple)
-    st = _init_state(nodes, ro, rd, t_max, root, max_stack)
+    L, C = leaf_rows.shape[0], nodes.shape[0]
+    unified = _pack_table(nodes, leaf_rows)
+    st = _init_state(unified, ro, rd, t_max, root, max_stack)
 
     retired = []
     size = R
     for _ in range(stages):
         if size % 2 or size // 2 < 512:
             break
-        st = _run_stage(unified, T, C, any_hit, st, size // 2)
+        st = _run_stage(unified, L, C, any_hit, st, size // 2)
         act = _active(st)
         # active lanes first (stable, so retired rows keep relative order)
         perm = jnp.argsort(jnp.where(act, 0, 1), stable=True)
@@ -367,7 +472,7 @@ def _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
                                                    "u", "v")))
         st = {k: a[keep] for k, a in st.items()}
         size = half
-    st = _run_stage(unified, T, C, any_hit, st, 0)
+    st = _run_stage(unified, L, C, any_hit, st, 0)
     retired.append(tuple(st[k] for k in ("orig", "t", "tri", "u", "v")))
 
     orig, t, tri, u, v = (jnp.concatenate(cols) for cols in zip(*retired))
@@ -380,26 +485,26 @@ def _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit: bool,
 _CASCADE_MIN_RAYS = 4096
 
 
-def _dispatch(nodes, tri_triple, ro, rd, t_max, any_hit, max_stack,
+def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
               cascade):
     R = ro.shape[0]
     if cascade and R >= _CASCADE_MIN_RAYS:
-        return _traverse_cascade(nodes, tri_triple, ro, rd, t_max, any_hit,
+        return _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit,
                                  max_stack)
-    return _traverse(nodes, tri_triple, ro, rd, t_max, any_hit, max_stack)
+    return _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack)
 
 
 @partial(jax.jit, static_argnames=("max_stack", "cascade"))
-def closest_hit_wavefront(nodes, tri_triple, ro, rd, t_max,
+def closest_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
                           max_stack: int = MAX_STACK,
                           cascade: bool = True) -> Hit:
-    return _dispatch(nodes, tri_triple, ro, rd, t_max, False, max_stack,
+    return _dispatch(nodes, leaf_rows, ro, rd, t_max, False, max_stack,
                      cascade)
 
 
 @partial(jax.jit, static_argnames=("max_stack", "cascade"))
-def any_hit_wavefront(nodes, tri_triple, ro, rd, t_max,
+def any_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
                       max_stack: int = MAX_STACK, cascade: bool = True):
-    hit = _dispatch(nodes, tri_triple, ro, rd, t_max, True, max_stack,
+    hit = _dispatch(nodes, leaf_rows, ro, rd, t_max, True, max_stack,
                     cascade)
     return hit.tri >= 0

@@ -65,6 +65,7 @@ class FrameState(NamedTuple):
     restir: Optional[ReSTIRState]
     cache: Optional[RadianceCache]
     taa_history: Optional[jnp.ndarray]
+    prev_cam: Optional[Camera] = None   # last frame's camera (motion vecs)
 
 
 class Renderer:
@@ -92,6 +93,7 @@ class Renderer:
             cache=RadianceCache.create(self.cfg.cache_capacity)
             if self.cfg.use_radiance_cache else None,
             taa_history=None,
+            prev_cam=None,
         )
 
     def reset_accumulation(self, state: FrameState) -> FrameState:
@@ -99,12 +101,16 @@ class Renderer:
         RayTracingMaster.cs:375-392)."""
         return state._replace(accum=state.accum.reset())
 
-    def step(self, state: FrameState):
+    def step(self, state: FrameState, cam: Optional[Camera] = None):
         """One frame: trace (+restir/cache), denoise, accumulate, post.
         Returns (display_image [H,W,3] in [0,1], radiance [H,W,3],
-        new_state)."""
+        new_state). Pass `cam` to move the camera — temporal passes
+        reproject their history with motion vectors from the previous
+        frame's camera (post/motion.py)."""
         cfg = self.cfg
         rcfg = self.rcfg
+        if cam is not None:
+            self.cam = cam
         h, w = cfg.height, cfg.width
         sid = state.sample
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
@@ -112,7 +118,8 @@ class Renderer:
 
         if cfg.use_restir:
             img, restir, _ = restir_gi_step(self.scene, self.cam, rcfg,
-                                            state.restir, sid)
+                                            state.restir, sid,
+                                            prev_cam=state.prev_cam)
             new["restir"] = restir
             frame = img
             st = None
@@ -133,22 +140,28 @@ class Renderer:
                                                pixel, sid)
             frame = rad.reshape(h, w, 3)
 
+        motion = None
+        if state.prev_cam is not None and st is not None:
+            from truetrace_tpu.post.motion import motion_vectors
+            motion = motion_vectors(state.prev_cam, self.cam,
+                                    st["depth"].reshape(h, w))
         if cfg.denoiser == "svgf" and st is not None:
             frame, svgf = svgf_denoise(
                 frame, st["albedo"].reshape(h, w, 3),
                 st["normal"].reshape(h, w, 3),
-                st["depth"].reshape(h, w), state.svgf)
+                st["depth"].reshape(h, w), state.svgf, motion=motion)
             new["svgf"] = svgf
         elif cfg.denoiser == "recur" and st is not None:
             frame, recur = recur_denoise(
                 frame, st["albedo"].reshape(h, w, 3),
                 st["normal"].reshape(h, w, 3),
-                st["depth"].reshape(h, w), state.recur)
+                st["depth"].reshape(h, w), state.recur, motion=motion)
             new["recur"] = recur
 
         accum = state.accum.add(frame)
         display, taa_hist = postprocess(accum.image, cfg.post,
                                         state.taa_history)
         new_state = state._replace(
-            accum=accum, sample=sid + 1, taa_history=taa_hist, **new)
+            accum=accum, sample=sid + 1, taa_history=taa_hist,
+            prev_cam=self.cam, **new)
         return display, accum.image, new_state

@@ -1,13 +1,20 @@
-"""Texture atlas: host-side packing + device-side sampling.
+"""Texture atlas: host-side packing + device-side sampling, with mips.
 
 Counterpart of the reference's atlasing pipeline (AssetManager.CreateAtlas
 AssetManager.cs:396-533 packing via RectpackSharp + CopyTextureShader blits;
 rect UV transform CommonData.cginc:569-591). TPU differences: no BCn
-compression (XLA gathers from a dense f16/f32 array; bandwidth is traded
-for gather-friendliness), one shelf-packed RGBA atlas per scene.
+compression (XLA gathers from a dense f32 array; bandwidth is traded for
+gather-friendliness), one shelf-packed RGBA atlas per scene.
+
+Mip chain: every rect is 16-aligned, so levels 1..4 are exact 2x2-average
+downscales of the whole atlas with rect coordinates simply shifted right.
+The chain is stacked below level 0 in one image; `level_y[k]` gives each
+level's row origin. Per-ray LOD comes from the integrator's ray cones
+(pathtrace.py) — the TPU-friendly stand-in for the reference's
+hardware-derivative texture fetches.
 
 Sampling is a pure function (kernels can fuse it): wrap-repeat inside the
-texture's rect, bilinear filter.
+texture's rect, bilinear filter, optional nearest-mip select.
 """
 from __future__ import annotations
 
@@ -16,6 +23,19 @@ from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+
+ALIGN = 16          # rect alignment; supports 4 clean mip levels
+N_MIPS = 4
+
+
+def _pad_align(img: np.ndarray) -> np.ndarray:
+    """Edge-clamp pad H/W up to multiples of ALIGN (keeps mips bleed-free)."""
+    h, w = img.shape[:2]
+    ph = (-h) % ALIGN
+    pw = (-w) % ALIGN
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return img
 
 
 @dataclass
@@ -35,15 +55,18 @@ class AtlasBuilder:
         elif img.shape[-1] == 3:
             img = np.concatenate(
                 [img, np.ones_like(img[..., :1])], axis=-1)
-        self.images.append(img.astype(np.float32))
+        self.images.append(_pad_align(img.astype(np.float32)))
         return len(self.images) - 1
 
-    def build(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (atlas [AH,AW,4] f32, rects [N,4] i32 (x,y,w,h))."""
+    def build(self, mips: int = N_MIPS
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (atlas [AHm,AW,4] f32 with the mip chain stacked below
+        level 0, rects [N,4] i32 (x,y,w,h in level-0 texels),
+        level_y [mips] i32 row origins)."""
         if not self.images:
             return (np.zeros((1, 1, 4), np.float32),
-                    np.zeros((0, 4), np.int32))
-        # shelf pack, tallest first
+                    np.zeros((0, 4), np.int32),
+                    np.zeros((max(mips, 1),), np.int32))
         order = sorted(range(len(self.images)),
                        key=lambda i: -self.images[i].shape[0])
         rects = np.zeros((len(self.images), 4), np.int32)
@@ -53,8 +76,9 @@ class AtlasBuilder:
         aw = min(self.max_width,
                  max(int(np.ceil(np.sqrt(
                      sum(im.shape[0] * im.shape[1]
-                         for im in self.images)))) ,
+                         for im in self.images)))),
                      max(im.shape[1] for im in self.images)))
+        aw = aw + ((-aw) % ALIGN)
         for i in order:
             h, w = self.images[i].shape[:2]
             if x + w > aw:
@@ -65,27 +89,63 @@ class AtlasBuilder:
             shelf_h = max(shelf_h, h)
             x += w
         ah = shelf_y + shelf_h
-        atlas = np.zeros((ah, aw, 4), np.float32)
+        ah = ah + ((-ah) % ALIGN)
+        level0 = np.zeros((ah, aw, 4), np.float32)
         for i, im in enumerate(self.images):
             rx, ry, w, h = rects[i]
-            atlas[ry:ry + h, rx:rx + w] = im
-        return atlas, rects
+            level0[ry:ry + h, rx:rx + w] = im
+
+        # stacked mip chain (2x2 box filter per level)
+        levels = [level0]
+        for _ in range(1, mips):
+            prev = levels[-1]
+            hh, ww = prev.shape[0] // 2, prev.shape[1] // 2
+            if hh < 1 or ww < 1:
+                break
+            down = prev[:hh * 2, :ww * 2].reshape(hh, 2, ww, 2, 4
+                                                  ).mean(axis=(1, 3))
+            levels.append(down.astype(np.float32))
+        level_y = np.zeros((len(levels),), np.int32)
+        y = 0
+        padded = []
+        for k, lv in enumerate(levels):
+            level_y[k] = y
+            row = np.zeros((lv.shape[0], aw, 4), np.float32)
+            row[:, :lv.shape[1]] = lv
+            padded.append(row)
+            y += lv.shape[0]
+        return np.concatenate(padded, axis=0), rects, level_y
 
 
 def sample_atlas(atlas: jnp.ndarray, rects: jnp.ndarray, tex_id, uv,
-                 bilinear: bool = True):
+                 bilinear: bool = True, lod=None,
+                 level_y: Optional[jnp.ndarray] = None):
     """Sample texture `tex_id` [R] at uv [R,2] (wrap-repeat). Returns
-    [R,4]. tex_id < 0 lanes return ones (callers select)."""
+    [R,4]. tex_id < 0 lanes return ones (callers select).
+
+    lod: optional [R] mip level (float; nearest mip is used). Requires
+    `level_y` from AtlasBuilder.build; None = level 0."""
     safe_id = jnp.maximum(tex_id, 0)
-    r = rects[safe_id]                       # [R,4] x,y,w,h
-    w = jnp.maximum(r[:, 2], 1).astype(jnp.float32)
-    h = jnp.maximum(r[:, 3], 1).astype(jnp.float32)
+    r = rects[safe_id]                       # [R,4] x,y,w,h (level 0)
+    if lod is not None and level_y is not None and level_y.shape[0] > 1:
+        M = level_y.shape[0]
+        k = jnp.clip(jnp.round(lod).astype(jnp.int32), 0, M - 1)
+        rx = r[:, 0] >> k
+        ry = (r[:, 1] >> k) + level_y[k]
+        rw = jnp.maximum(r[:, 2] >> k, 1)
+        rh = jnp.maximum(r[:, 3] >> k, 1)
+    else:
+        rx, ry = r[:, 0], r[:, 1]
+        rw = jnp.maximum(r[:, 2], 1)
+        rh = jnp.maximum(r[:, 3], 1)
+    w = rw.astype(jnp.float32)
+    h = rh.astype(jnp.float32)
     u = (uv[:, 0] % 1.0) * w
     v = (uv[:, 1] % 1.0) * h
 
     def fetch(xi, yi):
-        x = r[:, 0] + (xi % r[:, 2].astype(jnp.int32))
-        y = r[:, 1] + (yi % r[:, 3].astype(jnp.int32))
+        x = rx + (xi % rw)
+        y = ry + (yi % rh)
         return atlas[jnp.clip(y, 0, atlas.shape[0] - 1),
                      jnp.clip(x, 0, atlas.shape[1] - 1)]
 

@@ -26,8 +26,7 @@ import numpy as np
 from truetrace_tpu.build.bvh2 import build_bvh2
 from truetrace_tpu.build.cwbvh import build_cwbvh
 from truetrace_tpu.core import aabb as aabb_ops
-from truetrace_tpu.kernels.cwbvh_wavefront import (
-    any_hit_wavefront, closest_hit_wavefront, pack_tri_triples)
+from truetrace_tpu.kernels.cwbvh_wavefront import pack_leaf_rows
 from truetrace_tpu.kernels.traverse_ref import Hit
 from truetrace_tpu.scene.mesh import HostMesh, flatten_meshes
 
@@ -35,18 +34,20 @@ from truetrace_tpu.scene.mesh import HostMesh, flatten_meshes
 @dataclass
 class InstancedScene:
     """Aggregated multi-BLAS geometry + instance table (host-built)."""
-    cw_nodes: jnp.ndarray        # [C,20] aggregated CWBVH nodes
-    tri_triple: jnp.ndarray      # [T,36] aggregated packed leaf rows
+    cw_nodes: jnp.ndarray        # [C,20] TLAS nodes then BLAS nodes
+    leaf_rows: jnp.ndarray       # [L,30] aggregated packed leaf rows
     tri_p0: jnp.ndarray          # [T,3] (local space)
     tri_e1: jnp.ndarray
     tri_e2: jnp.ndarray
     tri_mat: jnp.ndarray         # [T] global material id
-    node_offset: jnp.ndarray     # [I] int32 per instance
+    node_offset: jnp.ndarray     # [I] int32 per instance (BLAS root id)
     tri_offset: jnp.ndarray      # [I]
     l2w: jnp.ndarray             # [I,3,4] rows (rotation+translation)
     w2l: jnp.ndarray             # [I,3,4]
     world_aabb: jnp.ndarray      # [I,2,3]
     n_instances: int
+    inst_rows: jnp.ndarray = None   # [I,30] instance rows (TLAS leaf order)
+    n_tlas_nodes: int = 0
 
 
 def _mat34(m: np.ndarray) -> np.ndarray:
@@ -73,11 +74,10 @@ def build_instanced(sources: Sequence[HostMesh],
                     ) -> InstancedScene:
     """sources: one HostMesh per unique geometry (local space);
     instances: (source_id, l2w 4x4) pairs."""
-    nodes_list, trip_list = [], []
+    nodes_list, row_list = [], []
     p0l, e1l, e2l, matl = [], [], [], []
-    node_off, tri_off = [], []
     src_tables = []
-    n_off = t_off = 0
+    n_off = t_off = l_off = 0
     for mesh in sources:
         tris = flatten_meshes([mesh])
         box = aabb_ops.from_tris(tris["p0"], tris["p0"] + tris["e1"],
@@ -89,12 +89,16 @@ def build_instanced(sources: Sequence[HostMesh],
         e1 = tris["e1"][perm]
         e2 = tris["e2"][perm]
         mat = tris["mat"][perm]
-        # relocate node child/tri pointers by the aggregate offsets
-        w = cw.nodes.copy()
+        w, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
+                                 cw.slot_tri_count, p0, e1, e2)
+        # relocate node child/leaf pointers + global tri ids by the
+        # aggregate offsets
         w[:, 4] += n_off
-        w[:, 5] += t_off
+        w[:, 5] += l_off
+        idv = rows.view(np.int32)[:, 27:30]
+        idv[idv >= 0] += t_off
         nodes_list.append(w)
-        trip_list.append(pack_tri_triples(p0, e1, e2))
+        row_list.append(rows)
         p0l.append(p0)
         e1l.append(e1)
         e2l.append(e2)
@@ -102,6 +106,7 @@ def build_instanced(sources: Sequence[HostMesh],
         src_tables.append((n_off, t_off, box[bvh.order][cw.tri_index]))
         n_off += w.shape[0]
         t_off += p0.shape[0]
+        l_off += rows.shape[0]
 
     l2w_rows, w2l_rows, n_offs, t_offs, aabbs = [], [], [], [], []
     for src_id, m in instances:
@@ -119,20 +124,60 @@ def build_instanced(sources: Sequence[HostMesh],
         wc = corners @ m[:3, :3] + m[3, :3]
         aabbs.append(np.stack([wc.min(0), wc.max(0)]))
 
+    # ---- interleaved TLAS (kernels/cwbvh_tlas.py): CWBVH over instance
+    # world AABBs, one instance per leaf slot; TLAS nodes go FIRST in the
+    # aggregate node buffer, so every BLAS pointer shifts by n_tlas
+    from truetrace_tpu.kernels.cwbvh_tlas import pack_instance_rows
+    world_aabb_np = np.stack(aabbs).astype(np.float32)
+    w2l_np = np.stack(w2l_rows)
+    n_off_np = np.asarray(n_offs, np.int32)
+    bvh_t = build_bvh2(world_aabb_np, max_leaf=1, sah_leaf_cap=1,
+                       use_native=False)
+    cw_t = build_cwbvh(bvh_t, world_aabb_np[bvh_t.order], use_native=False)
+    inst_perm = bvh_t.order[cw_t.tri_index]      # emit order -> instance id
+    mask = cw_t.slot_tri_count > 0
+    per_node = mask.sum(axis=1)
+    base_row = np.concatenate([[0], np.cumsum(per_node)[:-1]])
+    tlas_nodes = cw_t.nodes.copy()
+    tlas_nodes[:, 5] = base_row.astype(np.uint32)
+    n_tlas = tlas_nodes.shape[0]
+    row_inst = inst_perm[cw_t.slot_tri_base[mask]]   # instance per row
+    inst_rows = pack_instance_rows(
+        w2l_np[row_inst], n_off_np[row_inst] + n_tlas, row_inst)
+    blas_nodes = np.concatenate(nodes_list)
+    blas_nodes[:, 4] += n_tlas
+
     return InstancedScene(
-        cw_nodes=jnp.asarray(np.concatenate(nodes_list)),
-        tri_triple=jnp.asarray(np.concatenate(trip_list)),
+        cw_nodes=jnp.asarray(np.concatenate([tlas_nodes, blas_nodes])),
+        leaf_rows=jnp.asarray(np.concatenate(row_list)),
         tri_p0=jnp.asarray(np.concatenate(p0l)),
         tri_e1=jnp.asarray(np.concatenate(e1l)),
         tri_e2=jnp.asarray(np.concatenate(e2l)),
         tri_mat=jnp.asarray(np.concatenate(matl)),
-        node_offset=jnp.asarray(np.asarray(n_offs, np.int32)),
+        node_offset=jnp.asarray(n_off_np + n_tlas),
         tri_offset=jnp.asarray(np.asarray(t_offs, np.int32)),
         l2w=jnp.asarray(np.stack(l2w_rows)),
-        w2l=jnp.asarray(np.stack(w2l_rows)),
-        world_aabb=jnp.asarray(np.stack(aabbs)),
+        w2l=jnp.asarray(w2l_np),
+        world_aabb=jnp.asarray(world_aabb_np),
         n_instances=len(instances),
+        inst_rows=jnp.asarray(inst_rows),
+        n_tlas_nodes=n_tlas,
     )
+
+
+def closest_hit_instanced_tlas(sc: InstancedScene, ro, rd, t_max):
+    """Interleaved two-level traversal (kernels/cwbvh_tlas.py): one O(log)
+    descent instead of the per-instance loop below. Returns (Hit with
+    GLOBAL tri ids, instance id per ray)."""
+    from truetrace_tpu.kernels.cwbvh_tlas import closest_hit_tlas
+    return closest_hit_tlas(sc.cw_nodes, sc.leaf_rows, sc.inst_rows,
+                            ro, rd, t_max)
+
+
+def any_hit_instanced_tlas(sc: InstancedScene, ro, rd, t_max):
+    from truetrace_tpu.kernels.cwbvh_tlas import any_hit_tlas
+    return any_hit_tlas(sc.cw_nodes, sc.leaf_rows, sc.inst_rows,
+                        ro, rd, t_max)
 
 
 def _xform_point(m34, p):
@@ -171,7 +216,7 @@ def closest_hit_instanced(sc: InstancedScene, ro, rd, t_max) -> Hit:
         rd_ln = rd_l / jnp.maximum(scale, 1e-20)[..., None]
         # offset the BLAS root: traversal starts at node_offset[i]
         from truetrace_tpu.kernels import cwbvh_wavefront as wf
-        h = wf._traverse(sc.cw_nodes, sc.tri_triple, ro_l, rd_ln,
+        h = wf._traverse(sc.cw_nodes, sc.leaf_rows, ro_l, rd_ln,
                          jnp.where(maybe, t_best * scale, 0.0),
                          any_hit=False, max_stack=wf.MAX_STACK,
                          root=sc.node_offset[i])
@@ -203,7 +248,7 @@ def any_hit_instanced(sc: InstancedScene, ro, rd, t_max):
         rd_l = _xform_dir(sc.w2l[i], rd)
         scale = jnp.linalg.norm(rd_l, axis=-1)
         rd_ln = rd_l / jnp.maximum(scale, 1e-20)[..., None]
-        h = wf._traverse(sc.cw_nodes, sc.tri_triple, ro_l, rd_ln,
+        h = wf._traverse(sc.cw_nodes, sc.leaf_rows, ro_l, rd_ln,
                          jnp.where(maybe, t_max * scale, 0.0),
                          any_hit=True, max_stack=wf.MAX_STACK,
                          root=sc.node_offset[i])

@@ -170,6 +170,7 @@ class Scene:
     tri_e2: jnp.ndarray       # [T,3]
     tri_n: jnp.ndarray        # [T,3,3] shading normals (v0,v1,v2)
     tri_uv: jnp.ndarray       # [T,3,2]
+    tri_tan: jnp.ndarray      # [T,3] per-face UV tangent (normal mapping)
     tri_mat: jnp.ndarray      # [T] int32 material id
 
     # BVH2 (flat, aggregated; see build/bvh2.py for node layout)
@@ -180,16 +181,20 @@ class Scene:
     # CWBVH (8-wide compressed; see build/cwbvh.py). uint32 rows, one node =
     # 20 words (80 B) exactly like the reference GPU node
     # (CommonVars.cs:414-434) so a node fetch is one contiguous gather.
-    cw_nodes: jnp.ndarray     # [C,20] uint32
+    cw_nodes: jnp.ndarray     # [C,20] uint32 (word 5 = base leaf row)
     cw_tri_index: jnp.ndarray # [T] int32 CWBVH leaf order -> global tri id
-    cw_tri_triple: jnp.ndarray  # [T,36] f32 rows of 3 packed tris (one
-                                # gather covers a whole <=3-tri leaf)
+    cw_leaf_rows: jnp.ndarray # [L,30] f32 per-leaf rows: 3 packed tris +
+                              # 3 tri-id words (kernels/cwbvh_wavefront.py
+                              # pack_leaf_rows)
     woop: jnp.ndarray           # [T,24] Woop unit-tri transforms for the
                                 # MXU brute-force path (empty if disabled)
 
     # texture atlas (scene/atlas.py; empty = no textures)
-    atlas: jnp.ndarray        # [AH,AW,4] f32
-    atlas_rects: jnp.ndarray  # [NT,4] i32 (x,y,w,h)
+    atlas: jnp.ndarray        # [AHm,AW,4] f32 (mip chain stacked below L0)
+    atlas_rects: jnp.ndarray  # [NT,4] i32 (x,y,w,h in level-0 texels)
+    atlas_level_y: jnp.ndarray  # [M] i32 mip-level row origins
+    tri_lod: jnp.ndarray      # [T] base texture LOD per tri (texel density;
+                              # ray-cone LOD adds log2(footprint))
 
     materials: MaterialTable
     mesh_table: Optional[MeshTable]

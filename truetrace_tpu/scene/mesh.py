@@ -88,8 +88,8 @@ def flatten_meshes(meshes: List[HostMesh]):
     """Concatenate meshes into world-space triangle soup (single-BLAS path).
 
     Returns dict of numpy arrays: p0,e1,e2 [T,3], n [T,3,3], uv [T,3,2],
-    mat [T]."""
-    p0l, e1l, e2l, nl, uvl, ml = [], [], [], [], [], []
+    tan [T,3] (UV-aligned tangents for normal mapping), mat [T]."""
+    p0l, e1l, e2l, nl, uvl, ml, tanl = [], [], [], [], [], [], []
     for mesh in meshes:
         pos = mesh.positions.astype(np.float32)
         idx = mesh.indices.astype(np.int64)
@@ -111,11 +111,25 @@ def flatten_meshes(meshes: List[HostMesh]):
         else:
             tuv = np.zeros((idx.shape[0], 3, 2), np.float32)
         uvl.append(tuv)
+        # per-face tangent aligned with +u (reference builds tangents on
+        # the CPU for its octahedral-packed CudaTriangle tangents,
+        # CommonVars.cs:437-456): T = (e1*dv2 - e2*dv1) / det
+        du1 = tuv[:, 1] - tuv[:, 0]
+        du2 = tuv[:, 2] - tuv[:, 0]
+        det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+        e1f, e2f = v1 - v0, v2 - v0
+        tan = (e1f * du2[:, 1:2] - e2f * du1[:, 1:2]) \
+            / np.where(np.abs(det) < 1e-12, 1.0, det)[:, None]
+        nrm = np.linalg.norm(tan, axis=-1, keepdims=True)
+        tan = np.where(nrm > 1e-8, tan / np.maximum(nrm, 1e-12), 0.0)
+        tan[np.abs(det) < 1e-12] = 0.0
+        tanl.append(tan.astype(np.float32))
         ml.append(mesh.mat_id.astype(np.int32))
     return dict(
         p0=np.concatenate(p0l), e1=np.concatenate(e1l),
         e2=np.concatenate(e2l), n=np.concatenate(nl),
-        uv=np.concatenate(uvl), mat=np.concatenate(ml))
+        uv=np.concatenate(uvl), tan=np.concatenate(tanl),
+        mat=np.concatenate(ml))
 
 
 def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
@@ -153,6 +167,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   lights: Optional[AnalyticLights] = None,
                   atlas: Optional[np.ndarray] = None,
                   atlas_rects: Optional[np.ndarray] = None,
+                  atlas_level_y: Optional[np.ndarray] = None,
                   max_leaf: int = 4, with_cwbvh: bool = False,
                   with_light_bvh: bool = False, terrain=None) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS)."""
@@ -167,7 +182,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
 
     # permute triangles into BVH leaf order so leaves are contiguous runs
     perm = bvh.order
-    for key in ("p0", "e1", "e2", "n", "uv", "mat"):
+    for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
         tris[key] = tris[key][perm]
 
     if with_cwbvh:
@@ -175,21 +190,43 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         cw = build_cwbvh(bvh, tri_box[perm])
         # re-permute triangles into CWBVH emit order; remap BVH2 leaf starts
         # (each BVH2 leaf's tris stay contiguous in CWBVH order)
-        for key in ("p0", "e1", "e2", "n", "uv", "mat"):
+        for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
             tris[key] = tris[key][cw.tri_index]
         leaf = bvh.count > 0
         bvh.left[leaf] = cw.leaf_start[leaf]
-        cw_nodes = jnp.asarray(cw.nodes)
+        from truetrace_tpu.kernels.cwbvh_wavefront import pack_leaf_rows
+        nodes2, rows = pack_leaf_rows(
+            cw.nodes, cw.slot_tri_base, cw.slot_tri_count,
+            tris["p0"], tris["e1"], tris["e2"])
+        cw_nodes = jnp.asarray(nodes2)
         cw_tri_index = jnp.asarray(cw.tri_index)
-        from truetrace_tpu.kernels.cwbvh_wavefront import pack_tri_triples
-        cw_tri_triple = jnp.asarray(pack_tri_triples(
-            tris["p0"], tris["e1"], tris["e2"]))
+        cw_leaf_rows = jnp.asarray(rows)
     else:
         cw_nodes = jnp.zeros((0, 20), jnp.uint32)
         cw_tri_index = jnp.zeros((0,), jnp.int32)
-        cw_tri_triple = jnp.zeros((0, 36), jnp.float32)
+        cw_leaf_rows = jnp.zeros((0, 30), jnp.float32)
 
     light_tris = _emissive_light_tris(tris, mats)
+
+    # base texture LOD per tri: 0.5*log2(albedo texel area / world area)
+    # (feeds the ray-cone mip selection — the TPU analogue of the
+    # reference's derivative-based texture fetches)
+    T = tris["p0"].shape[0]
+    tri_lod = np.zeros((T,), np.float32)
+    if atlas_rects is not None and len(atlas_rects) > 0:
+        alb = np.array([m.tex_albedo for m in mats], np.int32)[tris["mat"]]
+        rect = np.asarray(atlas_rects)[np.maximum(alb, 0)]
+        texels = np.maximum(rect[:, 2] * rect[:, 3], 1).astype(np.float64)
+        duv1 = tris["uv"][:, 1] - tris["uv"][:, 0]
+        duv2 = tris["uv"][:, 2] - tris["uv"][:, 0]
+        uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1]
+                               - duv2[:, 0] * duv1[:, 1])
+        w_area = 0.5 * np.linalg.norm(
+            np.cross(tris["e1"], tris["e2"]), axis=-1)
+        dens = uv_area * texels / np.maximum(w_area, 1e-12)
+        tri_lod = np.where(alb >= 0,
+                           0.5 * np.log2(np.maximum(dens, 1e-12)),
+                           0.0).astype(np.float32)
 
     # MXU brute-force path for small scenes (kernels/tri_mxu.py)
     from truetrace_tpu.kernels.tri_mxu import BRUTE_MAX_TRIS, pack_woop
@@ -215,15 +252,19 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     return Scene(
         tri_p0=jnp.asarray(tris["p0"]), tri_e1=jnp.asarray(tris["e1"]),
         tri_e2=jnp.asarray(tris["e2"]), tri_n=jnp.asarray(tris["n"]),
-        tri_uv=jnp.asarray(tris["uv"]), tri_mat=jnp.asarray(tris["mat"]),
+        tri_uv=jnp.asarray(tris["uv"]), tri_tan=jnp.asarray(tris["tan"]),
+        tri_mat=jnp.asarray(tris["mat"]),
         bvh2_box=jnp.asarray(bvh.box), bvh2_left=jnp.asarray(bvh.left),
         bvh2_count=jnp.asarray(bvh.count),
         cw_nodes=cw_nodes, cw_tri_index=cw_tri_index,
-        cw_tri_triple=cw_tri_triple, woop=woop,
+        cw_leaf_rows=cw_leaf_rows, woop=woop,
         atlas=jnp.asarray(atlas, jnp.float32) if atlas is not None
         else jnp.zeros((1, 1, 4), jnp.float32),
         atlas_rects=jnp.asarray(atlas_rects, jnp.int32)
         if atlas_rects is not None else jnp.zeros((0, 4), jnp.int32),
+        atlas_level_y=jnp.asarray(atlas_level_y, jnp.int32)
+        if atlas_level_y is not None else jnp.zeros((1,), jnp.int32),
+        tri_lod=jnp.asarray(tri_lod),
         materials=material_table(mats), mesh_table=None,
         light_tris=light_tris,
         lights=lights if lights is not None else AnalyticLights.none(),

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from truetrace_tpu.scene.atlas import AtlasBuilder
+from truetrace_tpu.scene.atlas import AtlasBuilder, _pad_align
 from truetrace_tpu.scene.ir import Scene
 
 
@@ -41,6 +41,7 @@ def register_video(builder: AtlasBuilder, frames: np.ndarray,
         f = f.astype(np.float32) / 255.0
     if f.shape[-1] == 3:
         f = np.concatenate([f, np.ones_like(f[..., :1])], axis=-1)
+    f = np.stack([_pad_align(fr) for fr in f])
     tex_id = builder.add(f[0])
     return VideoTexture(tex_id=tex_id, frames=jnp.asarray(f, jnp.float32),
                         fps=fps)
@@ -54,6 +55,8 @@ def bind_video_frame(scene: Scene, video: VideoTexture, frame_index
     idx = jnp.asarray(frame_index, jnp.int32) % video.n_frames
     frame = video.frames[idx]                       # [H,W,4]
     rect = scene.atlas_rects[video.tex_id]          # (x,y,w,h) static slot
+    # level 0 only: video surfaces are sampled without mips (the
+    # reference's VideoTex is an un-mipped RT as well)
     atlas = jax.lax.dynamic_update_slice(
         scene.atlas, frame, (rect[1], rect[0], jnp.int32(0)))
     return scene.replace(atlas=atlas)
