@@ -52,10 +52,17 @@ def main():
     ro_p, rd_p = camera_rays(cam, 1 << 10, R >> 10,
                              pix.astype(jnp.int32), jit2)
 
-    closest = jax.jit(lambda ro, rd: closest_hit_wavefront(
-        scene.cw_nodes, scene.cw_leaf_rows, ro, rd, jnp.float32(1e30)))
-    anyhit = jax.jit(lambda ro, rd, tm: any_hit_wavefront(
-        scene.cw_nodes, scene.cw_leaf_rows, ro, rd, tm))
+    # scene arrays are jit ARGUMENTS (closing over them would bake
+    # hundreds of MB of constants into the HLO, which the remote-compile
+    # path rejects for San-Miguel-scale scenes)
+    closest_j = jax.jit(lambda nodes, rows, ro, rd: closest_hit_wavefront(
+        nodes, rows, ro, rd, jnp.float32(1e30)))
+    anyhit_j = jax.jit(lambda nodes, rows, ro, rd, tm: any_hit_wavefront(
+        nodes, rows, ro, rd, tm))
+    closest = lambda ro, rd: closest_j(scene.cw_nodes, scene.cw_leaf_rows,
+                                       ro, rd)
+    anyhit = lambda ro, rd, tm: anyhit_j(scene.cw_nodes, scene.cw_leaf_rows,
+                                         ro, rd, tm)
 
     # bounce-like incoherent rays: cosine directions from primary hit points
     h = closest(ro_p, rd_p)

@@ -164,22 +164,27 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
 # the integrator
 # ---------------------------------------------------------------------------
 
-def _trace(scene: Scene, ro, rd, cfg: "RenderConfig") -> Hit:
+def _trace(scene: Scene, ro, rd, cfg: "RenderConfig", alive=None) -> Hit:
+    # dead lanes get t_max = 0: they fail the root slab immediately, so
+    # the traversal's occupancy cascade compacts them out after the first
+    # stage — the integrator-level analogue of the reference's shrinking
+    # work queues (BufferSizes/TransferKernel indirect dispatch)
+    t_max = T_MAX if alive is None else jnp.where(alive, T_MAX, 0.0)
     if cfg.traversal == "brute":
         from truetrace_tpu.kernels.tri_mxu import intersect_brute
-        return intersect_brute(scene.woop, ro, rd, T_MAX)
+        return intersect_brute(scene.woop, ro, rd, t_max)
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
         return closest_hit_wavefront(
-            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, T_MAX)
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max)
     if cfg.traversal == "cwbvh":
         from truetrace_tpu.kernels.cwbvh_ref import closest_hit_cwbvh
         return closest_hit_cwbvh(
             scene.cw_nodes, scene.tri_p0, scene.tri_e1, scene.tri_e2,
-            ro, rd, T_MAX)
+            ro, rd, t_max)
     return closest_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
-        scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, T_MAX,
+        scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, t_max,
         max_leaf=cfg.max_leaf)
 
 
@@ -315,7 +320,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          c_hash, c_key, c_prefix, c_tp, c_live,
          n_trace, n_shadow) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
-        hit = _trace(scene, ro, rd, cfg)
+        hit = _trace(scene, ro, rd, cfg, alive=alive)
         # terrain heightfield: the reference runs kernel_heightmap after
         # kernel_trace against the same hit records
         # (RayTracingMaster.cs:975); here we march it and keep the nearer t
@@ -566,8 +571,12 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 & (jnp.max(f_l, axis=-1) > 0.0) & ~is_emis
             sro = p + gn * SHADOW_EPS
             n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
+            # non-candidate lanes shoot zero-length shadow rays: the
+            # traversal cascade retires them in its first stage
             blocked = _occluded(scene, sro, wi_l,
-                                dist_l - 2.0 * SHADOW_EPS, cfg)
+                                jnp.where(cand,
+                                          dist_l - 2.0 * SHADOW_EPS, 0.0),
+                                cfg)
             take = cand & ~blocked
             w_mis = jnp.where(delta_l, 1.0, power_heuristic(pdf_l, pdf_b))
             contrib = (throughput * f_l * rad_l

@@ -89,3 +89,42 @@ def asvgf_step(scene, cam, cfg: RenderConfig, state: ASVGFState,
     cur_lum = luminance(rad[strat.astype(jnp.int32)]).reshape(Hs, Ws)
     new_state = ASVGFState(svgf=svgf_state, prev_lum=cur_lum, prev_sid=sid)
     return out, new_state, {"gradient": grad_full, "alpha": alpha_map}
+
+
+def restir_asvgf_step(scene, cam, cfg: RenderConfig, restir_state,
+                      svgf_state: SVGFState, sample_id, prev_cam=None):
+    """ReSTIR-ASVGF: the ASVGF filter driven by the gradients the ReSTIR
+    temporal validation already produces, instead of a separate replay
+    stratum (reference ReSTIRASVGF.compute — same pipeline, no Reproject
+    pass; gradients written by ReSTIRGI.compute:159-192).
+
+    Returns (denoised [H,W,3], new_restir_state, new_svgf_state, aux)."""
+    from truetrace_tpu.integrate.restir import restir_gi_step
+
+    H, W = cfg.height, cfg.width
+    img, new_restir, aux = restir_gi_step(scene, cam, cfg, restir_state,
+                                          sample_id, prev_cam=prev_cam)
+    # dilate the sparse validation gradient like the reference's
+    # Gradient_Atrous, then map to a history-clamp alpha
+    g = aux["gradient"]
+    gd = g
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            gd = jnp.maximum(gd, jnp.roll(jnp.roll(g, dy, 0), dx, 1))
+    alpha_map = jnp.clip(ALPHA_MIN + gd * (ALPHA_MAX - ALPHA_MIN),
+                         ALPHA_MIN, ALPHA_MAX)
+
+    # G-buffer for the edge-stopping filter comes from a cheap stats pass
+    # embedded in the restir aux? restir already traced the frame; reuse
+    # its direct/indirect split and fetch the G-buffer from a 1-bounce
+    # stats render (primary hits only — no extra light transport)
+    from truetrace_tpu.integrate.pathtrace import render_sample_with_stats
+    pixel = jnp.arange(H * W, dtype=jnp.uint32)
+    gcfg = cfg.replace(bounces=1, use_nee=False, restir_capture=False)
+    _, st = render_sample_with_stats(scene, cam, gcfg, pixel,
+                                     jnp.asarray(sample_id, jnp.uint32))
+    out, new_svgf = svgf_denoise(
+        img, st["albedo"].reshape(H, W, 3),
+        st["normal"].reshape(H, W, 3), st["depth"].reshape(H, W),
+        svgf_state, alpha_map=alpha_map)
+    return out, new_restir, new_svgf, {"gradient": gd, "alpha": alpha_map}

@@ -21,7 +21,8 @@ from truetrace_tpu.integrate.pathtrace import (
 from truetrace_tpu.integrate.radiance_cache import (
     RadianceCache, cache_resolve, render_sample_cached)
 from truetrace_tpu.integrate.restir import ReSTIRState, restir_gi_step
-from truetrace_tpu.post.asvgf import ASVGFState, asvgf_step
+from truetrace_tpu.post.asvgf import (ASVGFState, asvgf_step,
+                                       restir_asvgf_step)
 from truetrace_tpu.post.pipeline import Accumulator, PostConfig, postprocess
 from truetrace_tpu.post.recur import ReCurState, recur_denoise
 from truetrace_tpu.post.svgf import SVGFState, svgf_denoise
@@ -39,6 +40,7 @@ class RendererConfig:
     light_sampling: str = "tree"
     use_nee: bool = True
     denoiser: str = "none"          # none | svgf | asvgf | recur
+                                    # (use_restir + "asvgf" = ReSTIR-ASVGF)
     use_restir: bool = False
     use_radiance_cache: bool = False
     cache_query_bounce: int = 2
@@ -82,9 +84,12 @@ class Renderer:
         return FrameState(
             accum=Accumulator.create(h, w),
             sample=jnp.int32(0),
-            svgf=SVGFState.create(h, w) if self.cfg.denoiser == "svgf"
+            svgf=SVGFState.create(h, w)
+            if self.cfg.denoiser == "svgf"
+            or (self.cfg.use_restir and self.cfg.denoiser == "asvgf")
             else None,
-            asvgf=ASVGFState.create(h, w) if self.cfg.denoiser == "asvgf"
+            asvgf=ASVGFState.create(h, w)
+            if self.cfg.denoiser == "asvgf" and not self.cfg.use_restir
             else None,
             recur=ReCurState.create(h, w) if self.cfg.denoiser == "recur"
             else None,
@@ -116,7 +121,16 @@ class Renderer:
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
         new = {}
 
-        if cfg.use_restir:
+        if cfg.use_restir and cfg.denoiser == "asvgf":
+            # ReSTIR-ASVGF (reference ReSTIRASVGF.cs): validation
+            # gradients drive the filter's history clamp
+            frame, restir, svgf, _ = restir_asvgf_step(
+                self.scene, self.cam, rcfg, state.restir, state.svgf,
+                sid, prev_cam=state.prev_cam)
+            new["restir"] = restir
+            new["svgf"] = svgf
+            st = None
+        elif cfg.use_restir:
             img, restir, _ = restir_gi_step(self.scene, self.cam, rcfg,
                                             state.restir, sid,
                                             prev_cam=state.prev_cam)
