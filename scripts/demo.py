@@ -107,6 +107,73 @@ def main():
     print(f"atrium: {time.time()-t0:.1f}s", flush=True)
     save("atrium_svgf.png", den, exposure=1.6)
 
+    # 4. Terrain heightfield + normal-mapped sphere + matcap sphere under
+    # the physical sky (showcases scene/terrain.py, kernels/heightmap.py,
+    # normal mapping and matcap)
+    from truetrace_tpu.scene.atlas import AtlasBuilder
+    from truetrace_tpu.scene.ir import Camera
+    from truetrace_tpu.scene.terrain import demo_hills, make_terrain
+
+    builder = AtlasBuilder()
+    # procedural bump normal map (hemispherical dimples)
+    n = 64
+    yy, xx = np.mgrid[0:n, 0:n] / n * 8 * np.pi
+    hgt = 0.35 * np.sin(xx) * np.sin(yy)
+    gx = np.gradient(hgt, axis=1)
+    gy = np.gradient(hgt, axis=0)
+    nz = 1.0 / np.sqrt(1 + gx ** 2 + gy ** 2)
+    nmap = np.stack([-gx * nz, -gy * nz, nz], -1) * 0.5 + 0.5
+    nm_id = builder.add(nmap.astype(np.float32))
+    # simple studio matcap: vertical gradient + rim
+    vv, uu = np.mgrid[0:n, 0:n] / (n - 1) * 2 - 1
+    r2 = uu ** 2 + vv ** 2
+    mc = (np.clip(0.8 - 0.6 * vv, 0, 1)[..., None]
+          * np.array([1.0, 0.85, 0.6]) + np.clip(r2 - 0.5, 0, 1)[..., None]
+          * np.array([0.1, 0.2, 0.5]))
+    mc_id = builder.add(mc.astype(np.float32))
+    atlas, rects, level_y = builder.build()
+
+    hm = demo_hills(97, seed=4)
+    ter_mats = [
+        HostMaterial(base_color=(0.35, 0.45, 0.2), roughness=0.9),   # grass
+        HostMaterial(base_color=(0.45, 0.38, 0.3), roughness=0.95),  # dirt
+        HostMaterial(base_color=(0.8, 0.3, 0.2), roughness=0.35,
+                     tex_normal=nm_id),                              # sphere
+        HostMaterial(base_color=(1.0, 1.0, 1.0), metallic=1.0,
+                     roughness=0.2, tex_matcap=mc_id),               # matcap
+    ]
+    am = np.zeros((16, 16, 4), np.float32)
+    slope = np.maximum(np.abs(np.gradient(hm, axis=0)),
+                       np.abs(np.gradient(hm, axis=1)))
+    sl16 = slope[::6, ::6][:16, :16]
+    am[..., 1] = np.clip(sl16 * 40, 0, 1)
+    am[..., 0] = 1.0 - am[..., 1]
+    ter = make_terrain(hm, origin=(-8, 0, -8), size_xz=(16, 16),
+                       mat_ids=[0, 1], alphamap=am, height_scale=2.2)
+
+    sv4, si4, _ = uv_sphere(20, 30, radius=0.9)
+    n4 = sv4 / np.linalg.norm(sv4, axis=-1, keepdims=True)
+    uv4 = np.stack([np.arctan2(n4[:, 2], n4[:, 0]) / (2 * np.pi) + 0.5,
+                    n4[:, 1] * 0.5 + 0.5], -1).astype(np.float32)
+    sphere1 = HostMesh(transform(sv4, translate=(-1.6, 2.6, 0.5)), si4,
+                       np.full(len(si4), 2, np.int32), normals=None,
+                       uvs=uv4)
+    sphere2 = HostMesh(transform(sv4, translate=(1.6, 2.8, -0.5)), si4,
+                       np.full(len(si4), 3, np.int32), normals=None,
+                       uvs=uv4)
+    env4 = bake_sky_env(sun_dir=(0.4, 0.5, 0.3), sun_irradiance=25.0)
+    scene4 = compile_scene([sphere1, sphere2], ter_mats, env=env4,
+                           atlas=atlas, atlas_rects=rects,
+                           atlas_level_y=level_y, terrain=ter)
+    cam4 = Camera.look_at(eye=(0.0, 4.5, 9.5), target=(0, 1.8, 0),
+                          fov_y_deg=45)
+    cfg4 = RenderConfig(width=res, height=res, bounces=3, bsdf="disney")
+    t0 = time.time()
+    img = render(scene4, cam4, cfg4, spp=max(spp // 2, 8))
+    jax.block_until_ready(img)
+    print(f"terrain: {time.time()-t0:.1f}s", flush=True)
+    save("terrain_matcap.png", img, exposure=1.4)
+
 
 if __name__ == "__main__":
     main()

@@ -75,9 +75,11 @@ def node_importance(nodes, idx, p, n):
 
 
 def _children(info, node):
-    """(left, right, is_leaf, first, count) for a batch of node ids."""
-    a = info[node, 0]
-    b = info[node, 1]
+    """(left, right, is_leaf, first, count) for a batch of node ids
+    (single row gather, then column slices)."""
+    row = info[node]
+    a = row[..., 0]
+    b = row[..., 1]
     is_leaf = b > 0
     left = a
     right = -b
@@ -115,8 +117,17 @@ def sample_light_tree(nodes, info, prim, p, n, u):
 
     node0 = jnp.zeros((R,), jnp.int32)
     _, _, leaf0, _, _ = _children(info, node0)
-    state = (node0, jnp.ones((R,), jnp.float32), u, leaf0)
-    node, pmf, u, _ = jax.lax.fori_loop(0, MAX_DEPTH, body, state)
+    state = (node0, jnp.ones((R,), jnp.float32), u, leaf0,
+             jnp.int32(0))
+
+    def wbody(st):
+        node, pmf, u, done, k = st
+        node, pmf, u, done = body(k, (node, pmf, u, done))
+        return node, pmf, u, done, k + 1
+
+    # early-exit at the actual tree depth instead of a fixed 32 rounds
+    node, pmf, u, _, _ = jax.lax.while_loop(
+        lambda st: ~jnp.all(st[3]) & (st[4] < MAX_DEPTH), wbody, state)
     first = info[node, 0]
     light = prim[first]
     return light, pmf, u
@@ -148,6 +159,13 @@ def light_tree_pdf(nodes, info, trail, light_idx, p, n):
 
     node0 = jnp.zeros((R,), jnp.int32)
     _, _, leaf0, _, _ = _children(info, node0)
-    state = (node0, jnp.ones((R,), jnp.float32), leaf0)
-    _, pmf, _ = jax.lax.fori_loop(0, MAX_DEPTH, body, state)
+    state = (node0, jnp.ones((R,), jnp.float32), leaf0, jnp.int32(0))
+
+    def wbody(st):
+        node, pmf, done, k = st
+        node, pmf, done = body(k, (node, pmf, done))
+        return node, pmf, done, k + 1
+
+    _, pmf, _, _ = jax.lax.while_loop(
+        lambda st: ~jnp.all(st[2]) & (st[3] < MAX_DEPTH), wbody, state)
     return jnp.where(light_idx >= 0, pmf, 0.0)
