@@ -76,18 +76,21 @@ def test_refit_after_motion_stays_valid_and_samples():
     _check_conservative(nodes2, lb.info, lb.prim, tris2, ids)
 
     # sampling through the refit tree still agrees with its own pdf
+    # (pairs rebuilt device-side from the refit nodes — the light-refit
+    # render path)
+    from truetrace_tpu.build.lightbvh import build_pairs, build_pairs_jax
     from truetrace_tpu.kernels.lighttree import (light_tree_pdf,
                                                  sample_light_tree)
+    pairs0, pair_children = build_pairs(lb.nodes, lb.info)
+    pairs = build_pairs_jax(jnp.asarray(nodes2), jnp.asarray(pairs0),
+                            jnp.asarray(pair_children))
     rng = np.random.default_rng(1)
     K = 128
     p = jnp.asarray(rng.uniform(-6, 6, (K, 3)).astype(np.float32))
     n = jnp.asarray(np.tile([0, 1, 0], (K, 1)).astype(np.float32))
     u = jnp.asarray(rng.uniform(0, 1, K).astype(np.float32))
-    nodes_j = jnp.asarray(nodes2)
-    idx, pmf, _ = sample_light_tree(nodes_j, jnp.asarray(lb.info),
-                                    jnp.asarray(lb.prim), p, n, u)
-    pdf = light_tree_pdf(nodes_j, jnp.asarray(lb.info),
-                         jnp.asarray(lb.trail), idx, p, n)
+    idx, pmf, _ = sample_light_tree(pairs, jnp.asarray(lb.prim), p, n, u)
+    pdf = light_tree_pdf(pairs, jnp.asarray(lb.trail), idx, p, n)
     np.testing.assert_allclose(np.asarray(pmf), np.asarray(pdf),
                                rtol=1e-4, atol=1e-6)
     assert (np.asarray(pmf) > 0).all()

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from truetrace_tpu.build.lightbvh import _cone_union, build_light_bvh
+from truetrace_tpu.build.lightbvh import build_pairs
 from truetrace_tpu.kernels.lighttree import light_tree_pdf, sample_light_tree
 
 
@@ -55,8 +56,8 @@ def test_sample_pdf_consistency():
     """Histogram of tree samples == analytic pmf == pdf eval; pmfs sum to 1."""
     tris, power = _scene(24, seed=2)
     lb = build_light_bvh(tris, np.arange(24), power)
-    nodes = jnp.asarray(lb.nodes)
-    info = jnp.asarray(lb.info)
+    pairs_np, _ = build_pairs(lb.nodes, lb.info)
+    pairs = jnp.asarray(pairs_np)
     prim = jnp.asarray(lb.prim)
     trail = jnp.asarray(lb.trail)
 
@@ -65,14 +66,14 @@ def test_sample_pdf_consistency():
     n = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (R, 3))
     u = jnp.asarray(np.random.default_rng(3).uniform(size=R)
                     .astype(np.float32))
-    light, pmf, _ = sample_light_tree(nodes, info, prim, p, n, u)
+    light, pmf, _ = sample_light_tree(pairs, prim, p, n, u)
     light = np.asarray(light)
     pmf = np.asarray(pmf)
 
     L = 24
     pl = jnp.broadcast_to(jnp.asarray([0.0, -2.0, 0.0]), (L, 3))
     nl = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (L, 3))
-    pmf_eval = np.asarray(light_tree_pdf(nodes, info, trail,
+    pmf_eval = np.asarray(light_tree_pdf(pairs, trail,
                                          jnp.arange(L), pl, nl))
     assert abs(pmf_eval.sum() - 1.0) < 1e-4
     # sampled pmf must match the pdf eval for the same light exactly
@@ -94,8 +95,8 @@ def test_importance_prefers_near_bright():
     n = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (R, 3))
     u = jnp.asarray(np.random.default_rng(4).uniform(size=R)
                     .astype(np.float32))
+    pairs2, _ = build_pairs(lb.nodes, lb.info)
     light, _, _ = sample_light_tree(
-        jnp.asarray(lb.nodes), jnp.asarray(lb.info), jnp.asarray(lb.prim),
-        p, n, u)
+        jnp.asarray(pairs2), jnp.asarray(lb.prim), p, n, u)
     frac_near = float((np.asarray(light) == 0).mean())
     assert frac_near > 0.95

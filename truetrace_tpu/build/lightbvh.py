@@ -158,3 +158,48 @@ def build_light_bvh(tris: dict, light_tri_ids: np.ndarray,
                     info=np.asarray(nodes_i, np.int32),
                     prim=np.asarray(prim_order, np.int32),
                     trail=trail, depth=max_depth[0])
+
+
+def build_pairs(nodes: np.ndarray, info: np.ndarray):
+    """Pack the light BVH into descent 'pair rows' so the sampler does ONE
+    gather per step instead of three (left row + right row + info):
+
+      pairs [Ni, 26] f32: cols 0..11  = left-child bounds row,
+                          cols 12..23 = right-child bounds row,
+                          col 24/25   = links (bitcast int32):
+                              >= 0 -> pair-row index of that internal child
+                              <  0 -> -(leaf first_prim + 1)
+
+    Returns (pairs, pair_children [Ni,2] node ids — the refit path uses
+    them to rebuild pairs from refit node rows). The root is pair row 0
+    (or the tree is a single leaf: Ni == 0)."""
+    N = nodes.shape[0]
+    internal = info[:, 1] < 0
+    node_to_pair = np.full(N, -1, np.int32)
+    ids = np.nonzero(internal)[0]
+    node_to_pair[ids] = np.arange(ids.size, dtype=np.int32)
+    Ni = ids.size
+    pairs = np.zeros((Ni, 26), np.float32)
+    pair_children = np.zeros((Ni, 2), np.int32)
+    for k, n in enumerate(ids):
+        l, r = info[n, 0], -info[n, 1]
+        pairs[k, 0:12] = nodes[l]
+        pairs[k, 12:24] = nodes[r]
+        pair_children[k] = (l, r)
+        for c, col in ((l, 24), (r, 25)):
+            if info[c, 1] < 0:
+                pairs[k:k + 1].view(np.int32)[0, col] = node_to_pair[c]
+            else:
+                pairs[k:k + 1].view(np.int32)[0, col] = -(info[c, 0] + 1)
+    return pairs, pair_children
+
+
+def build_pairs_jax(nodes, pairs_old, pair_children):
+    """Device-side pair-row refresh after refit_light_bvh: keep the links
+    (topology fixed), regather the two children's 12-float rows."""
+    import jax
+    import jax.numpy as jnp
+    l = pair_children[:, 0]
+    r = pair_children[:, 1]
+    links = pairs_old[:, 24:26]
+    return jnp.concatenate([nodes[l], nodes[r], links], axis=1)

@@ -107,7 +107,7 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
     if use_tree:
         from truetrace_tpu.kernels.lighttree import sample_light_tree
         idx, pmf, _ = sample_light_tree(
-            scene.lbvh_nodes, scene.lbvh_info, scene.lbvh_prim, p, sn, u_sel)
+            scene.lbvh_pairs, scene.lbvh_prim, p, sn, u_sel)
         idx = jnp.clip(idx, 0, L - 1)
     else:
         idx = jnp.clip(jnp.searchsorted(lt.cdf, u_sel), 0, L - 1)
@@ -147,8 +147,8 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
     li = scene.light_tris.tri_to_light[tid]
     if use_tree:
         from truetrace_tpu.kernels.lighttree import light_tree_pdf
-        pmf = light_tree_pdf(scene.lbvh_nodes, scene.lbvh_info,
-                             scene.lbvh_trail, li, p, sn_prev)
+        pmf = light_tree_pdf(scene.lbvh_pairs, scene.lbvh_trail,
+                             li, p, sn_prev)
     else:
         pmf = scene.light_tris.pmf[jnp.maximum(li, 0)]
     e1 = scene.tri_e1[tid]
@@ -302,7 +302,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     n_trace = jnp.zeros((), jnp.float32)
     n_shadow = jnp.zeros((), jnp.float32)
     use_tree = (cfg.light_sampling == "tree"
-                and scene.lbvh_nodes.shape[0] > 0)
+                and scene.lbvh_pairs.shape[0] > 0)
 
     # NEE strategy mix (reference picks a light group per shade:
     # RayTracingShader.compute:328-344): mesh emitters / env map / analytic

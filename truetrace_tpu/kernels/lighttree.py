@@ -5,19 +5,21 @@ Counterpart of the reference's GPU light-tree sampling
 built from the PBRT-4 formulation. Branchless vector math throughout —
 angles are manipulated via cos/sin subtraction identities, never arccos.
 
-Layout contract with build/lightbvh.py:
-  nodes [N,12]: min(3) max(3) axis(3) cos_o _unused phi
-  info  [N,2]:  leaf (first_prim, count>0); internal (left, -right)
-  trail [L]:    bit k set = take the right child at depth k
+Data layout: descent "pair rows" (build/lightbvh.py `build_pairs`) hold
+BOTH children's bounds plus the two links, so every descent step costs
+exactly ONE row gather (the same lesson as the CWBVH traversal: dependent
+gathers are the budget). All importance math runs on [R] column slices —
+[R,3] sub-slices of gathered rows pay ~2x relayout tax (BASELINE.md).
+
+Loops early-exit at the actual tree depth (while_loop), not a fixed
+round count.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from truetrace_tpu.core.math import dot, normalize
-
-MAX_DEPTH = 32
+MAX_DEPTH = 64
 COS_E = 0.0     # emission cone falloff half-angle = pi/2 for area lights
 
 
@@ -31,26 +33,29 @@ def _sin_sub_clamped(sin_a, cos_a, sin_b, cos_b):
     return jnp.where(cos_a > cos_b, 0.0, sin_a * cos_b - cos_a * sin_b)
 
 
-def node_importance(nodes, idx, p, n):
-    """PBRT-4 LightBounds::Importance for a batch of (node idx, point p,
-    shading normal n). Returns [R] importance >= 0."""
-    row = nodes[idx]                          # [R,12]
-    lo = row[..., 0:3]
-    hi = row[..., 3:6]
-    axis = row[..., 6:9]
-    cos_o = row[..., 9]
-    phi = row[..., 11]
+def _importance_cols(row, off, px, py, pz, nx, ny, nz):
+    """PBRT-4 LightBounds::Importance on a 12-float bounds block starting
+    at column `off` of gathered pair rows. Fully scalarized."""
+    c = lambda k: row[:, off + k]
+    lox, loy, loz = c(0), c(1), c(2)
+    hix, hiy, hiz = c(3), c(4), c(5)
+    ax, ay, az = c(6), c(7), c(8)
+    cos_o = c(9)
+    phi = c(11)
 
-    pc = 0.5 * (lo + hi)
-    d = pc - p
-    d2 = jnp.maximum(dot(d, d), 1e-12)
-    # clamp distance to half-diagonal: inside-the-bounds points see phi
-    r2 = 0.25 * dot(hi - lo, hi - lo)
+    pcx = 0.5 * (lox + hix)
+    pcy = 0.5 * (loy + hiy)
+    pcz = 0.5 * (loz + hiz)
+    dx, dy, dz = pcx - px, pcy - py, pcz - pz
+    d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
+    ex, ey, ez = hix - lox, hiy - loy, hiz - loz
+    r2 = 0.25 * (ex * ex + ey * ey + ez * ez)
     d2c = jnp.maximum(d2, 0.5 * r2)
-    wi = d * jax.lax.rsqrt(d2)[..., None]     # p -> light center
+    inv_d = jax.lax.rsqrt(d2)
+    wx, wy, wz = dx * inv_d, dy * inv_d, dz * inv_d   # p -> light center
 
     # theta_w: angle between light axis and direction toward p
-    cos_w = dot(axis, -wi)
+    cos_w = -(ax * wx + ay * wy + az * wz)
     sin_w = jnp.sqrt(jnp.maximum(1.0 - cos_w * cos_w, 0.0))
     # theta_b: angle subtended by the bounding sphere from p
     sin2_b = jnp.clip(r2 / d2, 0.0, 1.0)
@@ -62,42 +67,44 @@ def node_importance(nodes, idx, p, n):
     cos_x = _cos_sub_clamped(sin_w, cos_w, sin_o, cos_o)
     sin_x = _sin_sub_clamped(sin_w, cos_w, sin_o, cos_o)
     cos_p = _cos_sub_clamped(sin_x, cos_x, sin_b, cos_b)
-    # emission cone cutoff: theta' must be < theta_e (= pi/2)
-    ok = cos_p > COS_E
-    imp = phi * jnp.where(ok, cos_p, 0.0) / d2c
+    imp = phi * jnp.where(cos_p > COS_E, cos_p, 0.0) / d2c
 
-    # incident-angle factor at the shading point: cos(max(theta_i-theta_b,0))
-    cos_i = jnp.abs(dot(wi, n))
+    # incident-angle factor: cos(max(theta_i - theta_b, 0))
+    cos_i = jnp.abs(wx * nx + wy * ny + wz * nz)
     sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
     cos_ip = _cos_sub_clamped(sin_i, cos_i, sin_b, cos_b)
-    imp = imp * cos_ip
-    return jnp.maximum(imp, 0.0)
+    return jnp.maximum(imp * cos_ip, 0.0)
 
 
-def _children(info, node):
-    """(left, right, is_leaf, first, count) for a batch of node ids
-    (single row gather, then column slices)."""
-    row = info[node]
-    a = row[..., 0]
-    b = row[..., 1]
-    is_leaf = b > 0
-    left = a
-    right = -b
-    return left, right, is_leaf, a, b
+def node_importance(nodes, idx, p, n):
+    """Importance of standalone node rows [N,12] at indices idx (kept for
+    refit/diagnostic tests; the samplers use the pair-row fast path)."""
+    row = jnp.pad(nodes[idx], ((0, 0), (0, 14)))
+    return _importance_cols(row, 0, p[..., 0], p[..., 1], p[..., 2],
+                            n[..., 0], n[..., 1], n[..., 2])
 
 
-def sample_light_tree(nodes, info, prim, p, n, u):
-    """Descend the tree: returns (light_idx [R] int32, pmf [R], u' [R]).
+def _link(row, col):
+    return jax.lax.bitcast_convert_type(row[:, col], jnp.int32)
 
-    u is one uniform per lane, progressively rescaled at every branch (the
-    reference does the same: SampleLightBVH CommonData.cginc:1126)."""
+
+def sample_light_tree(pairs, prim, p, n, u):
+    """Descend the pair-row tree: returns (light_idx [R] i32, pmf [R],
+    u' [R]). u is one uniform per lane, progressively rescaled at every
+    branch (the reference does the same: SampleLightBVH
+    CommonData.cginc:1126)."""
     R = p.shape[0]
+    Ni = pairs.shape[0]
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    if Ni == 0:         # single-leaf tree
+        return (prim[jnp.zeros((R,), jnp.int32)],
+                jnp.ones((R,), jnp.float32), u)
 
-    def body(_, state):
-        node, pmf, u, done = state
-        left, right, is_leaf, _, _ = _children(info, node)
-        il = node_importance(nodes, left, p, n)
-        ir = node_importance(nodes, right, p, n)
+    def body(st):
+        row, pmf, u, first, done, k = st
+        il = _importance_cols(row, 0, px, py, pz, nx, ny, nz)
+        ir = _importance_cols(row, 12, px, py, pz, nx, ny, nz)
         tot = il + ir
         ql = jnp.where(tot > 0.0, il / jnp.maximum(tot, 1e-20), 0.5)
         go_left = u < ql
@@ -105,67 +112,57 @@ def sample_light_tree(nodes, info, prim, p, n, u):
                           (u - ql) / jnp.maximum(1.0 - ql, 1e-9))
         u_new = jnp.clip(u_new, 0.0, 1.0 - 1e-7)
         q = jnp.where(go_left, ql, 1.0 - ql)
-        nxt = jnp.where(go_left, left, right)
-        active = ~done & ~is_leaf
-        node = jnp.where(active, nxt, node)
-        pmf = jnp.where(active, pmf * jnp.maximum(q, 1e-12), pmf)
-        u = jnp.where(active, u_new, u)
-        # check if the node we just moved to is a leaf
-        _, _, now_leaf, _, _ = _children(info, node)
-        done = done | now_leaf
-        return node, pmf, u, done
+        link = jnp.where(go_left, _link(row, 24), _link(row, 25))
+        act = ~done
+        pmf = jnp.where(act, pmf * jnp.maximum(q, 1e-12), pmf)
+        u = jnp.where(act, u_new, u)
+        hit_leaf = act & (link < 0)
+        first = jnp.where(hit_leaf, -(link + 1), first)
+        done = done | hit_leaf
+        nxt = jnp.clip(jnp.where(act & ~hit_leaf, link, 0), 0, Ni - 1)
+        row = jnp.where(done[:, None], row, pairs[nxt])
+        return row, pmf, u, first, done, k + 1
 
-    node0 = jnp.zeros((R,), jnp.int32)
-    _, _, leaf0, _, _ = _children(info, node0)
-    state = (node0, jnp.ones((R,), jnp.float32), u, leaf0,
-             jnp.int32(0))
-
-    def wbody(st):
-        node, pmf, u, done, k = st
-        node, pmf, u, done = body(k, (node, pmf, u, done))
-        return node, pmf, u, done, k + 1
-
-    # early-exit at the actual tree depth instead of a fixed 32 rounds
-    node, pmf, u, _, _ = jax.lax.while_loop(
-        lambda st: ~jnp.all(st[3]) & (st[4] < MAX_DEPTH), wbody, state)
-    first = info[node, 0]
-    light = prim[first]
-    return light, pmf, u
+    row0 = jnp.broadcast_to(pairs[0], (R, 26))
+    st = (row0, jnp.ones((R,), jnp.float32), u,
+          jnp.zeros((R,), jnp.int32), jnp.zeros((R,), bool), jnp.int32(0))
+    st = jax.lax.while_loop(
+        lambda s: ~jnp.all(s[4]) & (s[5] < MAX_DEPTH), body, st)
+    _, pmf, u, first, _, _ = st
+    return prim[first], pmf, u
 
 
-def light_tree_pdf(nodes, info, trail, light_idx, p, n):
+def light_tree_pdf(pairs, trail, light_idx, p, n):
     """pmf the descent assigns to `light_idx` from point p — O(depth),
     following the stored root->leaf bit trail (reference CalcLightPDF,
     CommonData.cginc:1057)."""
     R = p.shape[0]
+    Ni = pairs.shape[0]
+    if Ni == 0:
+        return jnp.where(light_idx >= 0, 1.0, 0.0)
     bits = trail[jnp.maximum(light_idx, 0)]
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
 
-    def body(k, state):
-        node, pmf, done = state
-        left, right, is_leaf, _, _ = _children(info, node)
-        il = node_importance(nodes, left, p, n)
-        ir = node_importance(nodes, right, p, n)
+    def body(st):
+        row, pmf, done, k = st
+        il = _importance_cols(row, 0, px, py, pz, nx, ny, nz)
+        ir = _importance_cols(row, 12, px, py, pz, nx, ny, nz)
         tot = il + ir
         ql = jnp.where(tot > 0.0, il / jnp.maximum(tot, 1e-20), 0.5)
-        go_right = ((bits >> k) & jnp.uint32(1)) == 1
+        go_right = ((bits >> k.astype(jnp.uint32)) & jnp.uint32(1)) == 1
         q = jnp.where(go_right, 1.0 - ql, ql)
-        nxt = jnp.where(go_right, right, left)
-        active = ~done & ~is_leaf
-        node = jnp.where(active, nxt, node)
-        pmf = jnp.where(active, pmf * jnp.maximum(q, 1e-12), pmf)
-        _, _, now_leaf, _, _ = _children(info, node)
-        done = done | now_leaf
-        return node, pmf, done
+        link = jnp.where(go_right, _link(row, 25), _link(row, 24))
+        act = ~done
+        pmf = jnp.where(act, pmf * jnp.maximum(q, 1e-12), pmf)
+        done = done | (act & (link < 0))
+        nxt = jnp.clip(jnp.where(link >= 0, link, 0), 0, Ni - 1)
+        row = jnp.where(done[:, None], row, pairs[nxt])
+        return row, pmf, done, k + 1
 
-    node0 = jnp.zeros((R,), jnp.int32)
-    _, _, leaf0, _, _ = _children(info, node0)
-    state = (node0, jnp.ones((R,), jnp.float32), leaf0, jnp.int32(0))
-
-    def wbody(st):
-        node, pmf, done, k = st
-        node, pmf, done = body(k, (node, pmf, done))
-        return node, pmf, done, k + 1
-
-    _, pmf, _, _ = jax.lax.while_loop(
-        lambda st: ~jnp.all(st[2]) & (st[3] < MAX_DEPTH), wbody, state)
-    return jnp.where(light_idx >= 0, pmf, 0.0)
+    row0 = jnp.broadcast_to(pairs[0], (R, 26))
+    st = (row0, jnp.ones((R,), jnp.float32), jnp.zeros((R,), bool),
+          jnp.int32(0))
+    st = jax.lax.while_loop(
+        lambda s: ~jnp.all(s[2]) & (s[3] < MAX_DEPTH), body, st)
+    return jnp.where(light_idx >= 0, st[1], 0.0)

@@ -207,6 +207,9 @@ class Scene:
     lbvh_info: jnp.ndarray    # [LN,2] i32: leaf (first,count>0); internal (left,-right)
     lbvh_prim: jnp.ndarray    # [L] i32 leaf slot -> light index
     lbvh_trail: jnp.ndarray   # [L] u32 root->leaf bit trail per light index
+    lbvh_pairs: jnp.ndarray   # [Ni,26] descent pair rows (build_pairs) —
+                              # one gather per descent step
+    lbvh_pair_children: jnp.ndarray  # [Ni,2] child node ids (refit)
 
     # heightfield terrain (scene/terrain.py; reference TerrainObject +
     # kernel_heightmap), optional

@@ -239,15 +239,20 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     lbvh_info = jnp.zeros((0, 2), jnp.int32)
     lbvh_prim = jnp.zeros((0,), jnp.int32)
     lbvh_trail = jnp.zeros((0,), jnp.uint32)
+    lbvh_pairs = jnp.zeros((0, 26), jnp.float32)
+    lbvh_pair_children = jnp.zeros((0, 2), jnp.int32)
     if with_light_bvh and int(light_tris.tri_index.shape[0]) > 1:
-        from truetrace_tpu.build.lightbvh import build_light_bvh
+        from truetrace_tpu.build.lightbvh import build_light_bvh, build_pairs
         lb = build_light_bvh(
             tris, np.asarray(light_tris.tri_index),
             np.asarray(light_tris.power))
+        pairs, pair_children = build_pairs(lb.nodes, lb.info)
         lbvh_nodes = jnp.asarray(lb.nodes)
         lbvh_info = jnp.asarray(lb.info)
         lbvh_prim = jnp.asarray(lb.prim)
         lbvh_trail = jnp.asarray(lb.trail)
+        lbvh_pairs = jnp.asarray(pairs)
+        lbvh_pair_children = jnp.asarray(pair_children)
 
     return Scene(
         tri_p0=jnp.asarray(tris["p0"]), tri_e1=jnp.asarray(tris["e1"]),
@@ -270,5 +275,6 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lights=lights if lights is not None else AnalyticLights.none(),
         env=env if env is not None else EnvMap.constant((0.0, 0.0, 0.0)),
         lbvh_nodes=lbvh_nodes, lbvh_info=lbvh_info, lbvh_prim=lbvh_prim,
-        lbvh_trail=lbvh_trail, terrain=terrain,
+        lbvh_trail=lbvh_trail, lbvh_pairs=lbvh_pairs,
+        lbvh_pair_children=lbvh_pair_children, terrain=terrain,
     )
