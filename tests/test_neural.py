@@ -53,3 +53,18 @@ def test_param_roundtrip_serialization():
     b = jax.tree_util.tree_leaves(params2)
     assert all(np.array_equal(np.asarray(x), np.asarray(y))
                for x, y in zip(a, b))
+
+
+def test_renderer_neural_denoiser():
+    from truetrace_tpu.renderer import Renderer, RendererConfig
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats)
+    r = Renderer(scene, cam, RendererConfig(
+        width=32, height=32, bounces=2, bsdf="lambert", traversal="bvh2",
+        light_sampling="cdf", denoiser="neural"))
+    st = r.init_state()
+    display, rad, st = r.step(st)
+    assert np.isfinite(np.asarray(display)).all()

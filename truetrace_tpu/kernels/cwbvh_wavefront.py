@@ -483,11 +483,28 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
 # below this ray count the cascade's sort/compact overhead outweighs the
 # straggler savings; fall back to the single-stage loop
 _CASCADE_MIN_RAYS = 4096
+# above this, chunk through lax.map: 64k batches are the measured v5e
+# sweet spot (BASELINE.md) — big batches lose ~2x to cascade-stage width
+_CHUNK_RAYS = 65536
 
 
 def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
               cascade):
     R = ro.shape[0]
+    if cascade and R > _CHUNK_RAYS and R % _CHUNK_RAYS == 0:
+        n = R // _CHUNK_RAYS
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+        def chunk(args):
+            o, d, tm = args
+            return _traverse_cascade(nodes, leaf_rows, o, d, tm, any_hit,
+                                     max_stack)
+
+        hit = jax.lax.map(chunk, (ro.reshape(n, _CHUNK_RAYS, 3),
+                                  rd.reshape(n, _CHUNK_RAYS, 3),
+                                  t_max.reshape(n, _CHUNK_RAYS)))
+        return Hit(t=hit.t.reshape(R), tri=hit.tri.reshape(R),
+                   u=hit.u.reshape(R), v=hit.v.reshape(R))
     if cascade and R >= _CASCADE_MIN_RAYS:
         return _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit,
                                  max_stack)

@@ -39,8 +39,10 @@ class RendererConfig:
     traversal: str = "wavefront"
     light_sampling: str = "tree"
     use_nee: bool = True
-    denoiser: str = "none"          # none | svgf | asvgf | recur
+    denoiser: str = "none"          # none | svgf | asvgf | recur | neural
                                     # (use_restir + "asvgf" = ReSTIR-ASVGF)
+    neural_weights: str = ""        # msgpack path for denoiser="neural"
+                                    # (scripts/train_denoiser.py output)
     use_restir: bool = False
     use_radiance_cache: bool = False
     cache_query_bounce: int = 2
@@ -78,6 +80,17 @@ class Renderer:
         self.cam = cam
         self.cfg = cfg
         self.rcfg = cfg.render_config()
+        self.neural_params = None
+        if cfg.denoiser == "neural":
+            import os
+            from flax import serialization
+            from truetrace_tpu.post.neural import init_params
+            self.neural_params = init_params(
+                jax.random.PRNGKey(0), cfg.height, cfg.width)
+            if cfg.neural_weights and os.path.exists(cfg.neural_weights):
+                with open(cfg.neural_weights, "rb") as f:
+                    self.neural_params = serialization.from_bytes(
+                        self.neural_params, f.read())
 
     def init_state(self) -> FrameState:
         h, w = self.cfg.height, self.cfg.width
@@ -171,6 +184,12 @@ class Renderer:
                 st["normal"].reshape(h, w, 3),
                 st["depth"].reshape(h, w), state.recur, motion=motion)
             new["recur"] = recur
+        elif cfg.denoiser == "neural" and st is not None:
+            # the OIDN slot: learned U-Net on (color, albedo, normal)
+            from truetrace_tpu.post.neural import denoise as neural_denoise
+            frame = neural_denoise(self.neural_params, frame,
+                                   st["albedo"].reshape(h, w, 3),
+                                   st["normal"].reshape(h, w, 3))
 
         accum = state.accum.add(frame)
         display, taa_hist = postprocess(accum.image, cfg.post,
