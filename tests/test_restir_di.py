@@ -111,3 +111,17 @@ def test_di_reuse_reduces_variance():
             e_reuse.append(err(img))
     assert np.mean(e_reuse) < 0.85 * np.mean(e_fresh), \
         (np.mean(e_fresh), np.mean(e_reuse))
+
+
+def test_renderer_di_integration():
+    from truetrace_tpu.renderer import Renderer, RendererConfig
+
+    scene, cam, _ = _setup()
+    r = Renderer(scene, cam, RendererConfig(
+        width=24, height=24, bounces=1, bsdf="lambert", traversal="bvh2",
+        light_sampling="cdf", use_restir_di=True))
+    st = r.init_state()
+    for _ in range(2):
+        display, rad, st = r.step(st)
+    assert np.isfinite(np.asarray(display)).all()
+    assert np.asarray(rad).max() > 0.0

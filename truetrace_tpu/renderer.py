@@ -21,6 +21,7 @@ from truetrace_tpu.integrate.pathtrace import (
 from truetrace_tpu.integrate.radiance_cache import (
     RadianceCache, cache_resolve, render_sample_cached)
 from truetrace_tpu.integrate.restir import ReSTIRState, restir_gi_step
+from truetrace_tpu.integrate.restir_di import ReSTIRDIState, restir_di_step
 from truetrace_tpu.post.asvgf import (ASVGFState, asvgf_step,
                                        restir_asvgf_step)
 from truetrace_tpu.post.pipeline import Accumulator, PostConfig, postprocess
@@ -44,6 +45,7 @@ class RendererConfig:
     neural_weights: str = ""        # msgpack path for denoiser="neural"
                                     # (scripts/train_denoiser.py output)
     use_restir: bool = False
+    use_restir_di: bool = False     # direct light via ReSTIR DI reservoirs
     use_radiance_cache: bool = False
     cache_query_bounce: int = 2
     cache_capacity: int = 1 << 20
@@ -67,6 +69,7 @@ class FrameState(NamedTuple):
     asvgf: Optional[ASVGFState]
     recur: Optional[ReCurState]
     restir: Optional[ReSTIRState]
+    restir_di: Optional[ReSTIRDIState]
     cache: Optional[RadianceCache]
     taa_history: Optional[jnp.ndarray]
     prev_cam: Optional[Camera] = None   # last frame's camera (motion vecs)
@@ -108,6 +111,8 @@ class Renderer:
             else None,
             restir=ReSTIRState.create(h, w) if self.cfg.use_restir
             else None,
+            restir_di=ReSTIRDIState.create(h, w)
+            if self.cfg.use_restir_di else None,
             cache=RadianceCache.create(self.cfg.cache_capacity)
             if self.cfg.use_radiance_cache else None,
             taa_history=None,
@@ -134,7 +139,14 @@ class Renderer:
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
         new = {}
 
-        if cfg.use_restir and cfg.denoiser == "asvgf":
+        if cfg.use_restir_di:
+            # direct light from DI reservoirs (integrate/restir_di.py)
+            frame, restir_di, _ = restir_di_step(
+                self.scene, self.cam, rcfg, state.restir_di, sid,
+                prev_cam=state.prev_cam)
+            new["restir_di"] = restir_di
+            st = None
+        elif cfg.use_restir and cfg.denoiser == "asvgf":
             # ReSTIR-ASVGF (reference ReSTIRASVGF.cs): validation
             # gradients drive the filter's history clamp
             frame, restir, svgf, _ = restir_asvgf_step(
