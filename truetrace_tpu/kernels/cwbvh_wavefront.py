@@ -340,7 +340,14 @@ def _step(unified, L, C, any_hit, st):
     lrow = jnp.clip((bleaf & PTR_MASK).astype(jnp.int32) + lrank, 0, L - 1)
 
     # node: extract nearest slot, child id = base + rank-in-imask
-    slot, node_rest = _extract_slot(node_bits, oct_key)
+    # (any-hit rays don't care about order: plain lowest-set-bit saves
+    # the octant permute)
+    if any_hit:
+        lsb_n = node_bits & (~node_bits + U32(1))
+        slot = jax.lax.population_count(lsb_n - U32(1)).astype(jnp.int32)
+        node_rest = node_bits & ~lsb_n
+    else:
+        slot, node_rest = _extract_slot(node_bits, oct_key)
     imask = chim >> 24
     below = imask & ((U32(1) << slot.astype(U32)) - U32(1))
     rank = jax.lax.population_count(below).astype(jnp.int32)
@@ -382,8 +389,9 @@ def _step(unified, L, C, any_hit, st):
               & (jnp.abs(det) > 1e-12))
         t_best = jnp.where(ok, th, t_best)
         tri_best = jnp.where(ok, tri_id, tri_best)
-        u_best = jnp.where(ok, u, u_best)
-        v_best = jnp.where(ok, v, v_best)
+        if not any_hit:          # shadow rays don't report u/v
+            u_best = jnp.where(ok, u, u_best)
+            v_best = jnp.where(ok, v, v_best)
     hits_leaf = hits & ~lsb
 
     # ---- 3b. descending lanes: stack update then swap in the child.
