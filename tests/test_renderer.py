@@ -47,3 +47,28 @@ def test_reset_accumulation(scene_cam):
     _, _, state = r.step(state)
     state = r.reset_accumulation(state)
     assert float(state.accum.count) == 0.0
+
+
+def test_camera_move_resets_accumulation():
+    """Reference RunUpdate behavior: moving the camera restarts the
+    progressive accumulation (temporal states survive)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from truetrace_tpu.renderer import Renderer, RendererConfig
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats)
+    r = Renderer(scene, cam, RendererConfig(
+        width=16, height=16, bounces=2, bsdf="lambert", traversal="bvh2",
+        light_sampling="cdf"))
+    st = r.init_state()
+    for _ in range(3):
+        _, _, st = r.step(st)
+    assert float(st.accum.count) == 3.0
+    cam2 = cam.replace(c2w=cam.c2w.at[3, 0].add(0.05))
+    _, _, st = r.step(st, cam=cam2)
+    assert float(st.accum.count) == 1.0     # reset + this frame
+    _, _, st = r.step(st, cam=cam2)         # same camera: keeps going
+    assert float(st.accum.count) == 2.0

@@ -133,7 +133,16 @@ class Renderer:
         cfg = self.cfg
         rcfg = self.rcfg
         if cam is not None:
+            import numpy as _np
+            moved = not _np.allclose(_np.asarray(cam.c2w),
+                                     _np.asarray(self.cam.c2w), atol=1e-7)
             self.cam = cam
+            if moved:
+                # camera moved: restart progressive accumulation (the
+                # reference's RunUpdate, RayTracingMaster.cs:375-392);
+                # temporal denoiser/reservoir states survive and are
+                # motion-reprojected instead
+                state = state._replace(accum=state.accum.reset())
         h, w = cfg.height, cfg.width
         sid = state.sample
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
