@@ -19,6 +19,20 @@ import numpy as np
 from PIL import Image
 
 from truetrace_tpu.integrate.pathtrace import RenderConfig, render
+
+
+def render_chunked(scene, cam, cfg, spp, chunk=24):
+    """Average spp over multiple device calls: one giant XLA program can
+    kill the axon tunnel (CLAUDE.md), so keep each call modest."""
+    import numpy as _np
+    acc = None
+    done = 0
+    while done < spp:
+        n = min(chunk, spp - done)
+        img = _np.asarray(render(scene, cam, cfg, spp=n, base_sample=done))
+        acc = img * n if acc is None else acc + img * n
+        done += n
+    return acc / spp
 from truetrace_tpu.post.pipeline import PostConfig, postprocess, firefly_clamp
 from truetrace_tpu.scene import atrium, cornell
 from truetrace_tpu.scene.mesh import compile_scene
@@ -47,8 +61,7 @@ def main():
     cfg = RenderConfig(width=res, height=res, bounces=5, bsdf="disney",
                        traversal="brute")
     t0 = time.time()
-    img = render(scene, cam, cfg, spp=spp)
-    jax.block_until_ready(img)
+    img = render_chunked(scene, cam, cfg, spp)
     print(f"cornell: {time.time()-t0:.1f}s", flush=True)
     save("cornell.png", img, exposure=1.2)
 
@@ -76,8 +89,7 @@ def main():
     cfg2 = RenderConfig(width=res, height=res, bounces=8, bsdf="disney",
                         traversal="brute")
     t0 = time.time()
-    img = render(scene2, cam2, cfg2, spp=spp)
-    jax.block_until_ready(img)
+    img = render_chunked(scene2, cam2, cfg2, spp)
     print(f"materials: {time.time()-t0:.1f}s", flush=True)
     save("materials.png", img, exposure=1.2)
 
@@ -169,8 +181,7 @@ def main():
                           fov_y_deg=45)
     cfg4 = RenderConfig(width=res, height=res, bounces=3, bsdf="disney")
     t0 = time.time()
-    img = render(scene4, cam4, cfg4, spp=max(spp // 2, 8))
-    jax.block_until_ready(img)
+    img = render_chunked(scene4, cam4, cfg4, max(spp // 2, 8))
     print(f"terrain: {time.time()-t0:.1f}s", flush=True)
     save("terrain_matcap.png", img, exposure=1.4)
 
