@@ -77,8 +77,8 @@ def test_e2e_cache_energy_close():
     acc = np.zeros((W * H, 3), np.float32)
     n_acc = 0
     for s in range(24):
-        rad, cache = render_sample_cached(scene, cam, cfg_cache, cache,
-                                          pixel, s)
+        rad, _, cache = render_sample_cached(scene, cam, cfg_cache, cache,
+                                             pixel, s)
         cache = cache_resolve(cache, decay=1.0)
         if s >= 12:               # accumulate after warmup
             acc += np.asarray(rad)

@@ -76,6 +76,7 @@ DIM_LIGHT_SELECT = 3    # light-tree / RIS selection
 DIM_LIGHT_SAMPLE = 4    # 2-D point-on-light sample
 DIM_RR = 5              # russian roulette
 DIM_AUX = 6             # free slot (ReSTIR etc.)
+DIM_NEE_RR = 7          # NEE shadow-ray russian roulette
 
 
 def path_dim(bounce, slot):

@@ -52,6 +52,23 @@ class RenderConfig:
     restir_capture: bool = struct.field(pytree_node=False, default=False)
     cache_capture: bool = struct.field(pytree_node=False, default=False)
     cache_query_bounce: int = struct.field(pytree_node=False, default=-1)
+    # MIS weighting function for the mesh-light <-> BSDF strategy pair:
+    # "approx" (default) weights with the O(1) power-CDF pmf on BOTH sides
+    # — unbiased (weights still sum to 1; only the weighting function
+    # changes) and removes the per-bounce light-tree pdf walk, which
+    # measures at ~35% of the whole NEE cost (scripts/profile_nee.py).
+    # "exact" walks the tree trail for the true descent pmf (reference
+    # CalcLightPDF, CommonData.cginc:1057).
+    nee_mis: str = struct.field(pytree_node=False, default="approx")
+    # NEE russian roulette: shadow rays whose unshadowed contribution
+    # luminance is below this survive proportionally (reweighted —
+    # unbiased); 0 disables. Counterpart of the reference's NEE RR
+    # (RayTracingShader.compute:418-484).
+    nee_rr: float = struct.field(pytree_node=False, default=0.0)
+    # profiling-only ablation knob ("" | "noshadow" | "nomis"): disables
+    # one NEE component to attribute frame cost (scripts/profile_nee.py).
+    # Renders are BIASED with a non-empty value — never use for output.
+    debug_nee: str = struct.field(pytree_node=False, default="")
 
 
 def gather_material(materials, mid):
@@ -98,10 +115,13 @@ class LightSample(NamedTuple):
     radiance: jnp.ndarray # [R,3]
     pdf_sa: jnp.ndarray   # [R] solid-angle pdf as seen from shading point
     valid: jnp.ndarray    # [R] bool
+    pdf_w: jnp.ndarray = None  # [R] MIS weighting pdf (nee_mis="approx":
+                               # power-CDF pmf based; else == pdf_sa)
 
 
 def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
-                      use_tree: bool = False) -> LightSample:
+                      use_tree: bool = False,
+                      approx_mis: bool = False) -> LightSample:
     lt = scene.light_tris
     L = lt.tri_index.shape[0]
     if use_tree:
@@ -133,26 +153,47 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
     wi = to_l / dist[..., None]
     cos_l = -dot(wi, gn)            # light emits from its front face
     emis = scene.materials.emission[scene.tri_mat[tid]]
-    pdf_sa = pmf * d2 / jnp.maximum(cos_l * area, 1e-12)
+    geo = d2 / jnp.maximum(cos_l * area, 1e-12)
+    pdf_sa = pmf * geo
     valid = (cos_l > 1e-6) & (L > 0)
+    # MIS weighting pdf: the approx mode weights with the CDF pmf — the
+    # same function light_pdf_sa(use_tree=False) evaluates on the BSDF
+    # side, so the two strategy weights still sum to 1 (unbiased)
+    pdf_w = lt.pmf[idx] * geo if (use_tree and approx_mis) else pdf_sa
     return LightSample(pos=lp, normal=gn, radiance=emis, pdf_sa=pdf_sa,
-                       valid=valid)
+                       valid=valid, pdf_w=pdf_w)
 
 
 def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
-                 use_tree: bool = False):
+                 use_tree: bool = False, inst=None):
     """Solid-angle pdf that NEE would have generated this emissive hit —
     used for the MIS weight on BSDF-sampled emissive hits (reference
-    computes the same from the light BVH: RayTracingShader.compute:162-211)."""
+    computes the same from the light BVH: RayTracingShader.compute:162-211).
+
+    inst: hit instance ids for instanced scenes — the light index is then
+    inst_light_offset[inst] + inst_em_rank[tid] (local tri rows map to a
+    light per INSTANCE, not per source)."""
     li = scene.light_tris.tri_to_light[tid]
+    if inst is not None and scene.inst_em_rank is not None:
+        rank = scene.inst_em_rank[tid]
+        off = scene.inst_light_offset[jnp.maximum(inst, 0)]
+        li_inst = jnp.where((inst >= 0) & (rank >= 0) & (off >= 0),
+                            off + rank, -1)
+        li = jnp.where(inst >= 0, li_inst, li)
     if use_tree:
         from truetrace_tpu.kernels.lighttree import light_tree_pdf
         pmf = light_tree_pdf(scene.lbvh_pairs, scene.lbvh_trail,
                              li, p, sn_prev)
     else:
         pmf = scene.light_tris.pmf[jnp.maximum(li, 0)]
-    e1 = scene.tri_e1[tid]
-    e2 = scene.tri_e2[tid]
+    # area from the light's own (world-space) triangle row — for
+    # instanced scenes tri_index points at the appended world copies
+    tid_l = scene.light_tris.tri_index[
+        jnp.clip(jnp.maximum(li, 0), 0,
+                 max(scene.light_tris.tri_index.shape[0] - 1, 0))] \
+        if scene.light_tris.tri_index.shape[0] > 0 else tid
+    e1 = scene.tri_e1[tid_l]
+    e2 = scene.tri_e2[tid_l]
     area = 0.5 * jnp.linalg.norm(cross(e1, e2), axis=-1)
     to_l = hit_p - p
     d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
@@ -164,28 +205,39 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
 # the integrator
 # ---------------------------------------------------------------------------
 
-def _trace(scene: Scene, ro, rd, cfg: "RenderConfig", alive=None) -> Hit:
+def _trace(scene: Scene, ro, rd, cfg: "RenderConfig", alive=None):
+    """Closest hit. Returns (Hit, inst [R] int32 — -1 except for the
+    two-level "tlas" path, where it is the hit instance id)."""
     # dead lanes get t_max = 0: they fail the root slab immediately, so
     # the traversal's occupancy cascade compacts them out after the first
     # stage — the integrator-level analogue of the reference's shrinking
     # work queues (BufferSizes/TransferKernel indirect dispatch)
     t_max = T_MAX if alive is None else jnp.where(alive, T_MAX, 0.0)
+    no_inst = jnp.full((ro.shape[0],), -1, jnp.int32)
+    if cfg.traversal == "tlas":
+        # interleaved two-level traversal over instanced scenes
+        # (kernels/cwbvh_tlas.py; reference IntersectionKernels.compute:
+        # 155-252 TLAS->BLAS W2L push/pop)
+        from truetrace_tpu.kernels.cwbvh_tlas import closest_hit_tlas
+        return closest_hit_tlas(scene.cw_nodes, scene.cw_leaf_rows,
+                                scene.inst_rows, ro, rd, t_max)
     if cfg.traversal == "brute":
         from truetrace_tpu.kernels.tri_mxu import intersect_brute
-        return intersect_brute(scene.woop, ro, rd, t_max)
+        return intersect_brute(scene.woop, ro, rd, t_max), no_inst
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
         return closest_hit_wavefront(
-            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max)
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max), no_inst
     if cfg.traversal == "cwbvh":
-        from truetrace_tpu.kernels.cwbvh_ref import closest_hit_cwbvh
-        return closest_hit_cwbvh(
-            scene.cw_nodes, scene.tri_p0, scene.tri_e1, scene.tri_e2,
-            ro, rd, t_max)
+        # scene.cw_nodes are pack_leaf_rows-patched (word 5 = base leaf
+        # row), so the rows-aware oracle must be used here
+        from truetrace_tpu.kernels.cwbvh_ref import closest_hit_cwbvh_rows
+        return closest_hit_cwbvh_rows(
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max), no_inst
     return closest_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
         scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, t_max,
-        max_leaf=cfg.max_leaf)
+        max_leaf=cfg.max_leaf), no_inst
 
 
 def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
@@ -199,6 +251,10 @@ def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
 
 
 def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
+    if cfg.traversal == "tlas":
+        from truetrace_tpu.kernels.cwbvh_tlas import any_hit_tlas
+        return any_hit_tlas(scene.cw_nodes, scene.cw_leaf_rows,
+                            scene.inst_rows, ro, rd, t_max)
     if cfg.traversal == "brute":
         from truetrace_tpu.kernels.tri_mxu import any_hit_brute
         return any_hit_brute(scene.woop, ro, rd, t_max)
@@ -207,10 +263,9 @@ def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
         return any_hit_wavefront(
             scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max)
     if cfg.traversal == "cwbvh":
-        from truetrace_tpu.kernels.cwbvh_ref import any_hit_cwbvh
-        return any_hit_cwbvh(
-            scene.cw_nodes, scene.tri_p0, scene.tri_e1, scene.tri_e2,
-            ro, rd, t_max)
+        from truetrace_tpu.kernels.cwbvh_ref import any_hit_cwbvh_rows
+        return any_hit_cwbvh_rows(
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max)
     return any_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
         scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, t_max,
@@ -233,7 +288,7 @@ def render_sample_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
-                             pixel, sample_id, cache=None):
+                             pixel, sample_id, cache=None, di_sample=None):
     """Like render_sample_pixels but also returns ray-count stats
     {n_trace, n_shadow} (the Mrays/s accounting the benchmarks use —
     counterpart of the reference's BufferSizes counters,
@@ -252,14 +307,22 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     # ray cones replace the reference's HW-derivative texture fetches)
     spread0 = 2.0 * jnp.tan(cam.fov_y * 0.5) / H
     return trace_rays(scene, ro, rd, cfg, pixel, sid, cam=cam, cache=cache,
-                      cone_spread=spread0)
+                      cone_spread=spread0, di_sample=di_sample)
 
 
 def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                cam: Optional[Camera] = None, cache=None,
-               cone_spread=None):
+               cone_spread=None, di_sample=None):
     """Path-trace explicit primary rays (lightmap baking, custom cameras,
-    debugging probes). Returns (radiance [R,3], stats dict)."""
+    debugging probes). Returns (radiance [R,3], stats dict).
+
+    di_sample: optional dict {pos, ln, rad [R,3], W [R]} of ReSTIR DI
+    reservoir light samples (integrate/restir_di.py). When given, the
+    bounce-0 mesh-light NEE uses the reservoir sample at full weight
+    (contribution f*Le*G*W) and the complementary BSDF-sampled emissive
+    MIS term at bounce 1 is dropped — reservoirs become the sole direct
+    mesh-light strategy at the primary vertex, like the reference's
+    RIS-driven NEE (CommonData.cginc:861 SelectLightMeshSmart)."""
     R = ro.shape[0]
     pixel = pixel.astype(jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
@@ -283,6 +346,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     r_valid = jnp.zeros((R,), bool)
     r_x1 = jnp.zeros((R, 3), jnp.float32)
     r_mat1 = jnp.zeros((R,), jnp.int32)
+    r_emit0 = jnp.zeros((R, 3), jnp.float32)   # emitted at primary, pre-NEE
     # radiance-cache records (integrate/radiance_cache.py): one slot per
     # bounce — vertex cell, radiance prefix and throughput at entry
     B = cfg.bounces
@@ -318,9 +382,9 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          g_albedo, g_normal, g_depth, cone_w, cone_s,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
          c_hash, c_key, c_prefix, c_tp, c_live,
-         n_trace, n_shadow) = state
+         n_trace, n_shadow, r_emit0) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
-        hit = _trace(scene, ro, rd, cfg, alive=alive)
+        hit, inst = _trace(scene, ro, rd, cfg, alive=alive)
         # terrain heightfield: the reference runs kernel_heightmap after
         # kernel_trace against the same hit records
         # (RayTracingMaster.cs:975); here we march it and keep the nearer t
@@ -361,6 +425,16 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         w = 1.0 - hit.u - hit.v
         sn = normalize(n0[:, 0] * w[..., None] + n0[:, 1] * hit.u[..., None]
                        + n0[:, 2] * hit.v[..., None])
+        if scene.inst_l2w is not None:
+            # instanced hit: triangle rows are instance-local — rotate
+            # normals into world space by the hit instance's L2W (exact
+            # for rotation + uniform scale, the supported instance set)
+            rot = scene.inst_l2w[jnp.maximum(inst, 0)][:, :, :3]  # [R,3,3]
+            on_inst = (inst >= 0)[..., None]
+            gn = jnp.where(on_inst,
+                           normalize(jnp.einsum("rij,rj->ri", rot, gn)), gn)
+            sn = jnp.where(on_inst,
+                           normalize(jnp.einsum("rij,rj->ri", rot, sn)), sn)
         # face-forward both normals against the incoming ray
         flip = (dot(gn, rd) > 0.0)
         front = ~flip
@@ -411,6 +485,10 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             nm = sample_atlas(scene.atlas, scene.atlas_rects,
                               mat.tex_normal, uv)
             tan = scene.tri_tan[tid]
+            if scene.inst_l2w is not None:
+                rot_t = scene.inst_l2w[jnp.maximum(inst, 0)][:, :, :3]
+                tan = jnp.where((inst >= 0)[..., None],
+                                jnp.einsum("rij,rj->ri", rot_t, tan), tan)
             tan_ok = jnp.sum(tan * tan, axis=-1) > 1e-8
             t_ = tan - sn * dot(tan, sn)[..., None]
             t_ = t_ / jnp.maximum(
@@ -496,16 +574,27 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         emis = mat.emission
         is_emis = jnp.max(emis, axis=-1) > 0.0
         cos_l = -dot(rd, gn)  # gn already flipped; use front-ness for emission
-        if cfg.use_nee and has_mesh:
-            l_pdf = light_pdf_sa(scene, tid, ro, p, jnp.maximum(cos_l, 1e-6),
-                                 sn_prev=prev_n, use_tree=use_tree) * p_group
+        if cfg.use_nee and has_mesh and cfg.debug_nee != "nomis":
+            l_pdf = light_pdf_sa(
+                scene, tid, ro, p, jnp.maximum(cos_l, 1e-6),
+                sn_prev=prev_n,
+                use_tree=use_tree and cfg.nee_mis == "exact",
+                inst=inst if scene.inst_l2w is not None else None) * p_group
             mis_w = jnp.where((b == 0) | (prev_pdf <= 0.0), 1.0,
                               power_heuristic(prev_pdf, l_pdf))
         else:
             mis_w = jnp.ones((R,), jnp.float32)
+        if di_sample is not None:
+            # bounce-0 direct mesh light is fully estimated by the DI
+            # reservoir NEE; drop the BSDF-sampled complement at bounce 1
+            mis_w = jnp.where(b == 1, 0.0, mis_w)
         emit_take = hit_ok & is_emis & front
         radiance = radiance + jnp.where(
             emit_take[..., None], throughput * emis * mis_w[..., None], 0.0)
+        if cfg.restir_capture:
+            # emitted-at-primary (+ env on miss), snapshotted BEFORE NEE:
+            # the piece ReSTIR DI keeps when it replaces the direct light
+            r_emit0 = jnp.where(b == 0, radiance, r_emit0)
 
         # ---- NEE: pick one strategy {mesh, env, analytic} per lane
         wo = -rd
@@ -524,12 +613,37 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             dist_l = jnp.zeros((R,), jnp.float32)
             rad_l = jnp.zeros((R, 3), jnp.float32)
             pdf_l = jnp.zeros((R,), jnp.float32)    # solid-angle pdf * p_group
+            pdfw_l = jnp.zeros((R,), jnp.float32)   # MIS weighting pdf
             delta_l = jnp.zeros((R,), bool)
             valid_l = jnp.zeros((R,), bool)
             gi = 0
             if has_mesh:
                 ls = sample_light_tris(scene, p, u_resc, u_l2, sn=sn,
-                                       use_tree=use_tree)
+                                       use_tree=use_tree,
+                                       approx_mis=cfg.nee_mis == "approx")
+                if di_sample is not None:
+                    # bounce 0: DI reservoir replaces the fresh tree/CDF
+                    # sample; pdf encodes the unbiased contribution weight
+                    # (contrib = f * Le * cos_s * W * cos_l / d2) and the
+                    # lane is flagged delta (full weight, no MIS split)
+                    di_to = di_sample["pos"] - p
+                    di_d2 = jnp.maximum(dot(di_to, di_to), 1e-12)
+                    di_dist = jnp.sqrt(di_d2)
+                    di_wi = di_to / di_dist[..., None]
+                    di_cos_l = -dot(di_wi, di_sample["ln"])
+                    di_ok = (di_sample["W"] > 0.0) & (di_cos_l > 1e-6)
+                    di_pdf = di_d2 / jnp.maximum(
+                        di_sample["W"] * di_cos_l, 1e-12)
+                    use_di = (b == 0)
+                    ls = LightSample(
+                        pos=jnp.where(use_di, di_sample["pos"], ls.pos),
+                        normal=jnp.where(use_di, di_sample["ln"],
+                                         ls.normal),
+                        radiance=jnp.where(use_di, di_sample["rad"],
+                                           ls.radiance),
+                        pdf_sa=jnp.where(use_di, di_pdf, ls.pdf_sa),
+                        valid=jnp.where(use_di, di_ok, ls.valid),
+                        pdf_w=jnp.where(use_di, di_pdf, ls.pdf_w))
                 to_l = ls.pos - p
                 d_m = jnp.linalg.norm(to_l, axis=-1)
                 sel = g_pick == gi
@@ -539,7 +653,10 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 dist_l = jnp.where(sel, d_m, dist_l)
                 rad_l = jnp.where(sel[..., None], ls.radiance, rad_l)
                 pdf_l = jnp.where(sel, ls.pdf_sa * p_group, pdf_l)
+                pdfw_l = jnp.where(sel, ls.pdf_w * p_group, pdfw_l)
                 valid_l = jnp.where(sel, ls.valid, valid_l)
+                if di_sample is not None:
+                    delta_l = jnp.where(sel & (b == 0), True, delta_l)
                 gi += 1
             if has_env_tex:
                 from truetrace_tpu.kernels.envmap import env_sample
@@ -549,6 +666,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 dist_l = jnp.where(sel, jnp.float32(1e30), dist_l)
                 rad_l = jnp.where(sel[..., None], r_env, rad_l)
                 pdf_l = jnp.where(sel, p_env * p_group, pdf_l)
+                pdfw_l = jnp.where(sel, p_env * p_group, pdfw_l)
                 valid_l = jnp.where(sel, p_env > 1e-12, valid_l)
                 gi += 1
             if has_analytic:
@@ -561,6 +679,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 rad_l = jnp.where(sel[..., None],
                                   al.radiance / al.pmf[..., None], rad_l)
                 pdf_l = jnp.where(sel, al.pdf_sa * p_group, pdf_l)
+                pdfw_l = jnp.where(sel, al.pdf_sa * p_group, pdfw_l)
                 delta_l = jnp.where(sel, al.is_delta, delta_l)
                 valid_l = jnp.where(sel, al.valid, valid_l)
                 gi += 1
@@ -569,21 +688,33 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             cos_s = jnp.maximum(dot(wi_l, sn), 0.0)
             cand = hit_ok & valid_l & (cos_s > 0.0) & (pdf_l > 1e-12) \
                 & (jnp.max(f_l, axis=-1) > 0.0) & ~is_emis
+            # unshadowed contribution first: it gates the shadow ray (NEE
+            # RR) and is what the miss adds
+            w_mis = jnp.where(delta_l, 1.0, power_heuristic(pdfw_l, pdf_b))
+            contrib = finite_or_zero(
+                throughput * f_l * rad_l
+                * (cos_s * w_mis / jnp.maximum(pdf_l, 1e-12))[..., None])
+            if cfg.nee_rr > 0.0:
+                # roulette away low-value shadow rays, reweight survivors
+                u_srr = rng.uniform1(
+                    pixel, sid, jnp.uint32(rng.path_dim(b, rng.DIM_NEE_RR)))
+                p_s = jnp.clip(luminance(contrib) / cfg.nee_rr, 0.05, 1.0)
+                cand = cand & (u_srr < p_s)
+                contrib = contrib / p_s[..., None]
             sro = p + gn * SHADOW_EPS
             n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
             # non-candidate lanes shoot zero-length shadow rays: the
             # traversal cascade retires them in its first stage
-            blocked = _occluded(scene, sro, wi_l,
-                                jnp.where(cand,
-                                          dist_l - 2.0 * SHADOW_EPS, 0.0),
-                                cfg)
+            if cfg.debug_nee == "noshadow":
+                blocked = jnp.zeros((R,), bool)
+            else:
+                blocked = _occluded(scene, sro, wi_l,
+                                    jnp.where(cand,
+                                              dist_l - 2.0 * SHADOW_EPS,
+                                              0.0),
+                                    cfg)
             take = cand & ~blocked
-            w_mis = jnp.where(delta_l, 1.0, power_heuristic(pdf_l, pdf_b))
-            contrib = (throughput * f_l * rad_l
-                       * (cos_s * w_mis
-                          / jnp.maximum(pdf_l, 1e-12))[..., None])
-            radiance = radiance + jnp.where(take[..., None],
-                                            finite_or_zero(contrib), 0.0)
+            radiance = radiance + jnp.where(take[..., None], contrib, 0.0)
 
         # ---- BSDF sample / continue
         u_lobe = rng.uniform1(pixel, sid,
@@ -632,13 +763,13 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 g_albedo, g_normal, g_depth, cone_w, cone_s,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
                 c_hash, c_key, c_prefix, c_tp, c_live,
-                n_trace, n_shadow)
+                n_trace, n_shadow, r_emit0)
 
     state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
              g_albedo, g_normal, g_depth, cone_w, cone_s,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
              c_hash, c_key, c_prefix, c_tp, c_live,
-             n_trace, n_shadow)
+             n_trace, n_shadow, r_emit0)
     state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
     stats = {"n_trace": state[25], "n_shadow": state[26],
              "albedo": state[7], "normal": state[8], "depth": state[9]}
@@ -647,7 +778,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             "direct": state[12], "x2": state[13], "n2": state[14],
             "tp1": state[15], "pdf1": state[16],
             "cand_valid": state[17], "x1": state[18], "mat1": state[19],
-            "indirect": state[2] - state[12],
+            "indirect": state[2] - state[12], "emitted0": state[27],
         })
     if cfg.cache_capture:
         stats.update({

@@ -133,14 +133,15 @@ def cache_resolve(cache: RadianceCache, decay: float = 0.98,
 
 
 def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
-                         sample_id):
+                         sample_id, di_sample=None):
     """One wavefront sample that both queries and feeds the cache.
 
-    Returns (radiance [R,3], new_cache). cfg must have cache_capture=True
-    (and usually cache_query_bounce >= 1)."""
+    Returns (radiance [R,3], stats, new_cache). cfg must have
+    cache_capture=True (and usually cache_query_bounce >= 1)."""
     from truetrace_tpu.integrate.pathtrace import render_sample_with_stats
     radiance, st = render_sample_with_stats(scene, cam, cfg, pixel,
-                                            sample_id, cache=cache)
+                                            sample_id, cache=cache,
+                                            di_sample=di_sample)
     # per-bounce outgoing-radiance estimates: everything accumulated after
     # entering the vertex, un-scaled by the path throughput at entry
     total = radiance[:, None, :]                      # [R,1,3]
@@ -152,4 +153,4 @@ def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
     cache = cache_update(cache, flat(st["cache_hash"]),
                          flat(st["cache_key"]),
                          jnp.clip(flat(L), 0.0, 1e4), w)
-    return radiance, cache
+    return radiance, st, cache

@@ -87,10 +87,25 @@ def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
     indirect. cfg.restir_capture must be True. prev_cam: last frame's
     camera — enables motion-vector history reprojection (post/motion.py);
     None = static camera."""
+    pixel = jnp.arange(cfg.height * cfg.width, dtype=jnp.uint32)
+    sid = jnp.asarray(sample_id, jnp.uint32)
+    _, st = render_sample_with_stats(scene, cam, cfg, pixel, sid)
+    return restir_gi_from_stats(scene, cam, cfg, state, sid, st,
+                                n_spatial=n_spatial, prev_cam=prev_cam)
+
+
+def restir_gi_from_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
+                         state: ReSTIRState, sample_id, st,
+                         n_spatial: int = 2, prev_cam: Camera = None):
+    """Reservoir update + final shade from an already-traced frame's
+    capture dict `st` (render_sample_with_stats with restir_capture=True).
+    Lets a composed frame (renderer.step) share ONE wavefront trace
+    between the integrator, ReSTIR GI and the denoisers — the reference
+    does the same: one bounce loop feeds reservoirs and denoiser inputs
+    (RayTracingMaster.cs:954-1131)."""
     H, W = cfg.height, cfg.width
     pixel = jnp.arange(H * W, dtype=jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
-    _, st = render_sample_with_stats(scene, cam, cfg, pixel, sid)
 
     def im(x, c=None):
         return x.reshape((H, W) if c is None else (H, W, c))
@@ -186,7 +201,15 @@ def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
             dy = dy0 * (sp + 1)
             dx = dx0 * (sp + 1)
             nb = lambda a: jnp.roll(jnp.roll(a, dy, 0), dx, 1)
-            ok = (jnp.sum(n1 * nb(n1), axis=-1) > NORMAL_GATE) \
+            # in-bounds gate (roll wraps at borders) + same-material gate
+            # (the reference gates neighbor merges on material identity
+            # too, ReSTIRGI.compute:319 — reservoirs must not bleed
+            # across material boundaries)
+            ys = jnp.arange(H)[:, None] - dy
+            xs = jnp.arange(W)[None, :] - dx
+            inb = (ys >= 0) & (ys < H) & (xs >= 0) & (xs < W)
+            ok = inb & (nb(mat1) == mat1) \
+                & (jnp.sum(n1 * nb(n1), axis=-1) > NORMAL_GATE) \
                 & (jnp.abs(depth - nb(depth))
                    < DEPTH_GATE * jnp.maximum(depth, 1e-3)) \
                 & (nb(res_M) > 0) & (nb(res_W) > 0)
@@ -234,5 +257,8 @@ def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
     new_state = ReSTIRState(x2=res_x2, n2=res_n2, rad=res_rad, M=res_M,
                             W=res_W, normal=n1, depth=depth)
     aux = {"direct": direct, "indirect": indirect_img,
-           "gradient": gradient}
+           "gradient": gradient,
+           # primary G-buffer rides along so downstream denoisers don't
+           # re-trace it (ReSTIR-ASVGF consumes these directly)
+           "albedo": im(st["albedo"], 3), "normal": n1, "depth": depth}
     return img, new_state, aux

@@ -66,27 +66,22 @@ def _p_hat(x1, n1, pos, ln, rad):
     return luminance(rad) * cos1 * cos_l / d2
 
 
-def restir_di_step(scene: Scene, cam: Camera, cfg: RenderConfig,
-                   state: ReSTIRDIState, sample_id,
-                   n_candidates: int = 8, n_spatial: int = 1,
-                   prev_cam: Optional[Camera] = None):
-    """One ReSTIR DI frame. Returns (direct image [H,W,3] — emitted +
-    reservoir-shaded direct light, new_state, aux)."""
+def restir_di_reservoirs(scene: Scene, cam: Camera, cfg: RenderConfig,
+                         state: ReSTIRDIState, sample_id,
+                         x1, n1, depth,
+                         n_candidates: int = 8, n_spatial: int = 1,
+                         prev_cam: Optional[Camera] = None):
+    """RIS + temporal + spatial reservoir reuse over light samples.
+
+    x1/n1/depth: this frame's primary G-buffer images [H,W(,3)]. Returns
+    (di_sample dict {pos, ln, rad [R,3], W [R]} flattened for
+    pathtrace.trace_rays, new_state). Final shading (BSDF + visibility)
+    happens inside the path tracer's bounce-0 NEE, which consumes
+    di_sample — like the reference's RIS feeding NEE
+    (CommonData.cginc:861)."""
     H, W = cfg.height, cfg.width
     pixel = jnp.arange(H * W, dtype=jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
-    # primary visibility + G-buffer + emitted-at-primary (1 bounce, no NEE)
-    gcfg = cfg.replace(bounces=1, use_nee=False, restir_capture=True)
-    emitted, st = render_sample_with_stats(scene, cam, gcfg, pixel, sid)
-
-    def im(x, c=None):
-        return x.reshape((H, W) if c is None else (H, W, c))
-
-    emitted = im(emitted, 3)
-    x1 = im(st["x1"], 3)
-    n1 = im(st["normal"], 3)
-    depth = im(st["depth"])
-    mat1 = im(st["mat1"])
     has_surf = depth > 0
 
     lt = scene.light_tris
@@ -176,7 +171,13 @@ def restir_di_step(scene: Scene, cam: Camera, cfg: RenderConfig,
         for k, (dy0, dx0) in enumerate(SPATIAL_TAPS):
             dy, dx = dy0 * (sp + 1), dx0 * (sp + 1)
             nb = lambda a: jnp.roll(jnp.roll(a, dy, 0), dx, 1)
-            ok = (jnp.sum(n1 * nb(n1), axis=-1) > NORMAL_GATE) \
+            # roll wraps at image borders; gate out taps whose source
+            # coordinate falls outside the frame (edge reservoirs must not
+            # merge with the opposite edge)
+            ys = jnp.arange(H)[:, None] - dy
+            xs = jnp.arange(W)[None, :] - dx
+            inb = (ys >= 0) & (ys < H) & (xs >= 0) & (xs < W)
+            ok = inb & (jnp.sum(n1 * nb(n1), axis=-1) > NORMAL_GATE) \
                 & (jnp.abs(depth - nb(depth))
                    < DEPTH_GATE * jnp.maximum(depth, 1e-3)) \
                 & (nb(M) > 0) & (nb(Wout) > 0)
@@ -197,29 +198,39 @@ def restir_di_step(scene: Scene, cam: Camera, cfg: RenderConfig,
                          safe_div(wsum, M * jnp.maximum(ph_sel, 1e-12)),
                          0.0)
 
-    # ---- final shade: visibility + full BSDF
-    flat = lambda a, c=None: a.reshape((-1,) if c is None else (-1, c))
-    d = r_pos - x1
-    d2 = jnp.maximum(dot(d, d), 1e-8)
-    dist = jnp.sqrt(d2)
-    wi = d / dist[..., None]
-    cos1 = jnp.maximum(dot(wi, n1), 0.0)
-    cos_l = jnp.maximum(-dot(wi, r_ln), 0.0)
-    G = cos1 * cos_l / d2
-    _, bsdf_eval = get_bsdf(cfg.bsdf)
-    mat = gather_material(scene.materials, flat(mat1).astype(jnp.int32))
-    cam_pos = cam.c2w[3, :3]
-    import truetrace_tpu.core.math as m
-    wo = m.normalize(cam_pos - x1)
-    f, _ = bsdf_eval(mat, flat(n1, 3), flat(wo, 3), flat(wi, 3))
-    blocked = _occluded(
-        scene, flat(x1 + n1 * 1e-4, 3), flat(wi, 3),
-        jnp.where(flat(Wout) > 0, flat(dist) - 2e-4, 0.0), cfg)
-    contrib = f * flat(r_rad, 3) * (flat(G) * flat(Wout)
-                                    * (~blocked))[..., None]
-    direct = jnp.nan_to_num(contrib.reshape(H, W, 3), nan=0.0, posinf=0.0)
-    img = emitted + jnp.where(has_surf[..., None], direct, 0.0)
-
     new_state = ReSTIRDIState(pos=r_pos, ln=r_ln, rad=r_rad, M=M, W=Wout,
                               normal=n1, depth=depth)
-    return img, new_state, {"emitted": emitted, "direct": direct}
+    flat = lambda a, c=None: a.reshape((-1,) if c is None else (-1, c))
+    di_sample = {
+        "pos": flat(r_pos, 3), "ln": flat(r_ln, 3), "rad": flat(r_rad, 3),
+        "W": flat(jnp.where(has_surf, Wout, 0.0)),
+    }
+    return di_sample, new_state
+
+
+def restir_di_step(scene: Scene, cam: Camera, cfg: RenderConfig,
+                   state: ReSTIRDIState, sample_id,
+                   n_candidates: int = 8, n_spatial: int = 1,
+                   prev_cam: Optional[Camera] = None):
+    """One standalone ReSTIR-DI frame: a 1-bounce G-buffer prepass feeds
+    reservoir reuse, then the FULL path trace (cfg.bounces) runs with the
+    reservoir samples driving its bounce-0 mesh-light NEE — so indirect
+    illumination is included, unlike a direct-only preview. Returns
+    (image [H,W,3], new_state, aux)."""
+    H, W = cfg.height, cfg.width
+    pixel = jnp.arange(H * W, dtype=jnp.uint32)
+    sid = jnp.asarray(sample_id, jnp.uint32)
+    gcfg = cfg.replace(bounces=1, use_nee=False, restir_capture=True)
+    emitted, st = render_sample_with_stats(scene, cam, gcfg, pixel, sid)
+
+    def im(x, c=None):
+        return x.reshape((H, W) if c is None else (H, W, c))
+
+    di_sample, new_state = restir_di_reservoirs(
+        scene, cam, cfg, state, sid, im(st["x1"], 3), im(st["normal"], 3),
+        im(st["depth"]), n_candidates=n_candidates, n_spatial=n_spatial,
+        prev_cam=prev_cam)
+    rad, _ = render_sample_with_stats(scene, cam, cfg, pixel, sid,
+                                      di_sample=di_sample)
+    img = jnp.nan_to_num(im(rad, 3), nan=0.0, posinf=0.0)
+    return img, new_state, {"emitted": im(emitted, 3)}

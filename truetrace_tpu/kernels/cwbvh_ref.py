@@ -147,8 +147,11 @@ def _traverse(nodes, p0, e1, e2, ro, rd, t_max, any_hit, max_stack):
 @partial(jax.jit, static_argnames=("max_stack",))
 def closest_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
                       max_stack: int = MAX_STACK) -> Hit:
-    """Closest-hit via CWBVH. p0/e1/e2 must be in CWBVH leaf order
-    (i.e. permuted by CWBVH.tri_index)."""
+    """Closest-hit via CWBVH on RAW builder nodes (word 5 = base_tri).
+    p0/e1/e2 must be in CWBVH leaf order (permuted by CWBVH.tri_index).
+
+    NOTE: `compile_scene` ships nodes patched by pack_leaf_rows (word 5 =
+    base LEAF-ROW index) — use the `*_rows` variants for those."""
     return _traverse(nodes, p0, e1, e2, ro, rd, t_max, False, max_stack)
 
 
@@ -156,4 +159,106 @@ def closest_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
 def any_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
                   max_stack: int = MAX_STACK):
     hit = _traverse(nodes, p0, e1, e2, ro, rd, t_max, True, max_stack)
+    return hit.tri >= 0
+
+
+def _traverse_rows(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack):
+    """Same lock-step traversal but against pack_leaf_rows-patched nodes:
+    node word 5 is the base LEAF-ROW index and triangle geometry + global
+    ids come from the [L,30] leaf-row table (the layout the wavefront
+    kernel consumes). Independent oracle for the compiled-Scene path."""
+    R = ro.shape[0]
+    L = leaf_rows.shape[0]
+    r_idx = jnp.arange(R)
+    inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12,
+                             jnp.where(rd >= 0, 1e-12, -1e-12), rd)
+
+    stack = jnp.zeros((R, max_stack), jnp.int32)
+    sp = jnp.ones((R,), jnp.int32)
+    t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                              (R,)).astype(jnp.float32)
+    tri_best = jnp.full((R,), -1, jnp.int32)
+    u_best = jnp.zeros((R,), jnp.float32)
+    v_best = jnp.zeros((R,), jnp.float32)
+
+    def cond(st):
+        return jnp.any(st[1] > 0)
+
+    def body(st):
+        stack, sp, t_best, tri_best, u_best, v_best = st
+        active = sp > 0
+        spm1 = jnp.maximum(sp - 1, 0)
+        node = jnp.where(active, stack[r_idx, spm1], 0)
+        sp = jnp.where(active, spm1, sp)
+
+        nd = decode_node(nodes, node)
+        hit8, dist8 = intersect_children(nd, ro, rd, inv_rd, t_best)
+        hit8 = hit8 & active[:, None]
+
+        is_int = ((nd["imask"][:, None]
+                   >> jnp.arange(8, dtype=U32)[None, :]) & U32(1)) == 1
+        below = nd["imask"][:, None] \
+            & ((U32(1) << jnp.arange(8, dtype=U32)[None, :]) - U32(1))
+        rank = jax.lax.population_count(below).astype(jnp.int32)
+        child_id = nd["base_child"][:, None] + rank
+
+        # leaf slots address leaf rows by their rank among occupied
+        # non-internal slots (pack_leaf_rows emits rows in slot order)
+        occ = nd["meta"] != 0
+        leafmask_bits = jnp.sum(
+            jnp.where(occ & ~is_int,
+                      1 << jnp.arange(8, dtype=jnp.int32)[None, :], 0),
+            axis=-1).astype(U32)
+        leaf_hit = hit8 & ~is_int
+        for s in range(8):
+            lrank = jax.lax.population_count(
+                leafmask_bits & ((U32(1) << U32(s)) - U32(1))
+            ).astype(jnp.int32)
+            lrow_i = jnp.clip(nd["base_tri"] + lrank, 0, L - 1)
+            row = leaf_rows[lrow_i]                          # [R,30]
+            for j in range(3):
+                tp0 = row[:, 9 * j: 9 * j + 3]
+                te1 = row[:, 9 * j + 3: 9 * j + 6]
+                te2 = row[:, 9 * j + 6: 9 * j + 9]
+                tid = jax.lax.bitcast_convert_type(row[:, 27 + j],
+                                                   jnp.int32)
+                valid = leaf_hit[:, s] & (tid >= 0)
+                h, th, hu, hv = ray_tri(ro, rd, tp0, te1, te2, t_best)
+                take = valid & h
+                t_best = jnp.where(take, th, t_best)
+                tri_best = jnp.where(take, tid, tri_best)
+                u_best = jnp.where(take, hu, u_best)
+                v_best = jnp.where(take, hv, v_best)
+        if any_hit:
+            sp = jnp.where(tri_best >= 0, 0, sp)
+
+        int_hit = hit8 & is_int
+        key = jnp.where(int_hit, dist8, -jnp.inf)
+        order = jnp.argsort(-key, axis=-1)
+        for k in range(8):
+            s = order[:, k]
+            push = int_hit[r_idx, s]
+            cid = child_id[r_idx, s]
+            slot = jnp.minimum(sp, max_stack - 1)
+            val = jnp.where(push, cid, stack[r_idx, slot])
+            stack = stack.at[r_idx, slot].set(val)
+            sp = sp + push.astype(jnp.int32)
+        return stack, sp, t_best, tri_best, u_best, v_best
+
+    st = (stack, sp, t_best, tri_best, u_best, v_best)
+    st = jax.lax.while_loop(cond, body, st)
+    return Hit(t=st[2], tri=st[3], u=st[4], v=st[5])
+
+
+@partial(jax.jit, static_argnames=("max_stack",))
+def closest_hit_cwbvh_rows(nodes, leaf_rows, ro, rd, t_max,
+                           max_stack: int = MAX_STACK) -> Hit:
+    """Closest-hit over compile_scene output (patched nodes + leaf rows)."""
+    return _traverse_rows(nodes, leaf_rows, ro, rd, t_max, False, max_stack)
+
+
+@partial(jax.jit, static_argnames=("max_stack",))
+def any_hit_cwbvh_rows(nodes, leaf_rows, ro, rd, t_max,
+                       max_stack: int = MAX_STACK):
+    hit = _traverse_rows(nodes, leaf_rows, ro, rd, t_max, True, max_stack)
     return hit.tri >= 0

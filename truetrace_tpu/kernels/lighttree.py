@@ -19,7 +19,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-MAX_DEPTH = 64
+# Must not exceed the 32-bit pdf trail. build/lightbvh.py forces leaves at
+# depth > 30, so descent depth <= 31 and every trail fits uint32; a deeper
+# cap here would let sample_light_tree descend past where light_tree_pdf's
+# trail bits can follow (wrong MIS pdfs).
+MAX_DEPTH = 32
 COS_E = 0.0     # emission cone falloff half-angle = pi/2 for area lights
 
 

@@ -13,9 +13,10 @@ with o' = M(o - p0), d' = M d. Each of the six primed scalars is an affine
 function of (o) or linear in (d) with per-tri coefficients — i.e. one row
 of a dense [R,4] x [4,T] product.
 
-Used automatically by the integrator for scenes below BRUTE_MAX_TRIS
-(Cornell-class); also the building block for the planned cluster-streamed
-tracer (bin rays to treelets, stream each treelet's tris through the MXU).
+Selected via RenderConfig(traversal="brute"); compile_scene packs the Woop
+table only for scenes below BRUTE_MAX_TRIS (Cornell-class). Also the
+building block for the planned cluster-streamed tracer (bin rays to
+treelets, stream each treelet's tris through the MXU).
 """
 from __future__ import annotations
 

@@ -52,19 +52,15 @@ def _stratum_pixels(h: int, w: int):
     return (Y * w + X).reshape(-1).astype(jnp.uint32)
 
 
-def asvgf_step(scene, cam, cfg: RenderConfig, state: ASVGFState,
-               sample_id):
-    """Render + denoise one frame. Returns (denoised, new_state, aux)."""
+def asvgf_gradient(scene, cam, cfg: RenderConfig, state: ASVGFState,
+                   sample_id, rad_flat):
+    """Replay-gradient estimation only (no denoise): re-trace the 1-in-9
+    stratum with last frame's sample id and compare against the luminance
+    the previous frame actually saw there. Returns (alpha_map [H,W],
+    grad_full [H,W], new_prev_lum, sid) — lets a composed frame reuse its
+    main trace (renderer.step) instead of re-rendering."""
     H, W = cfg.height, cfg.width
     sid = jnp.asarray(sample_id, jnp.uint32)
-    pixel = jnp.arange(H * W, dtype=jnp.uint32)
-    rad, st = render_sample_with_stats(scene, cam, cfg, pixel, sid)
-    img = rad.reshape(H, W, 3)
-    albedo = st["albedo"].reshape(H, W, 3)
-    normal = st["normal"].reshape(H, W, 3)
-    depth = st["depth"].reshape(H, W)
-
-    # ---- gradient stratum: replay last frame's sample id
     strat = _stratum_pixels(H, W)
     Hs, Ws = H // STRATUM, W // STRATUM
     replay, _ = render_sample_with_stats(scene, cam, cfg, strat,
@@ -81,12 +77,26 @@ def asvgf_step(scene, cam, cfg: RenderConfig, state: ASVGFState,
     grad_full = jnp.repeat(jnp.repeat(g, STRATUM, 0), STRATUM, 1)[:H, :W]
     alpha_map = jnp.clip(ALPHA_MIN + grad_full * (ALPHA_MAX - ALPHA_MIN),
                          ALPHA_MIN, ALPHA_MAX)
+    cur_lum = luminance(rad_flat[strat.astype(jnp.int32)]).reshape(Hs, Ws)
+    return alpha_map, grad_full, cur_lum, sid
 
+
+def asvgf_step(scene, cam, cfg: RenderConfig, state: ASVGFState,
+               sample_id):
+    """Render + denoise one frame. Returns (denoised, new_state, aux)."""
+    H, W = cfg.height, cfg.width
+    sid = jnp.asarray(sample_id, jnp.uint32)
+    pixel = jnp.arange(H * W, dtype=jnp.uint32)
+    rad, st = render_sample_with_stats(scene, cam, cfg, pixel, sid)
+    img = rad.reshape(H, W, 3)
+    albedo = st["albedo"].reshape(H, W, 3)
+    normal = st["normal"].reshape(H, W, 3)
+    depth = st["depth"].reshape(H, W)
+
+    alpha_map, grad_full, cur_lum, sid = asvgf_gradient(
+        scene, cam, cfg, state, sid, rad)
     out, svgf_state = svgf_denoise(img, albedo, normal, depth, state.svgf,
                                    alpha_map=alpha_map)
-
-    # store this frame's stratum luminance (current sid) for the next frame
-    cur_lum = luminance(rad[strat.astype(jnp.int32)]).reshape(Hs, Ws)
     new_state = ASVGFState(svgf=svgf_state, prev_lum=cur_lum, prev_sid=sid)
     return out, new_state, {"gradient": grad_full, "alpha": alpha_map}
 
@@ -114,17 +124,9 @@ def restir_asvgf_step(scene, cam, cfg: RenderConfig, restir_state,
     alpha_map = jnp.clip(ALPHA_MIN + gd * (ALPHA_MAX - ALPHA_MIN),
                          ALPHA_MIN, ALPHA_MAX)
 
-    # G-buffer for the edge-stopping filter comes from a cheap stats pass
-    # embedded in the restir aux? restir already traced the frame; reuse
-    # its direct/indirect split and fetch the G-buffer from a 1-bounce
-    # stats render (primary hits only — no extra light transport)
-    from truetrace_tpu.integrate.pathtrace import render_sample_with_stats
-    pixel = jnp.arange(H * W, dtype=jnp.uint32)
-    gcfg = cfg.replace(bounces=1, use_nee=False, restir_capture=False)
-    _, st = render_sample_with_stats(scene, cam, gcfg, pixel,
-                                     jnp.asarray(sample_id, jnp.uint32))
+    # G-buffer for the edge-stopping filter: the ReSTIR pass already
+    # produced it (aux carries albedo/normal/depth) — no extra trace
     out, new_svgf = svgf_denoise(
-        img, st["albedo"].reshape(H, W, 3),
-        st["normal"].reshape(H, W, 3), st["depth"].reshape(H, W),
+        img, aux["albedo"], aux["normal"], aux["depth"],
         svgf_state, alpha_map=alpha_map)
     return out, new_restir, new_svgf, {"gradient": gd, "alpha": alpha_map}

@@ -29,6 +29,9 @@ class PostConfig:
     taa_alpha: float = struct.field(pytree_node=False, default=0.1)
     sharpen: float = struct.field(pytree_node=False, default=0.0)
     gamma: float = struct.field(pytree_node=False, default=2.2)
+    # RCRS firefly clamp factor applied to the frame before accumulation
+    # (reference FireFlyPass.shader); 0 disables
+    firefly: float = struct.field(pytree_node=False, default=3.0)
 
 
 # ---------------------------------------------------------------------------
@@ -151,9 +154,19 @@ def bloom(img, strength: float = 0.1, threshold: float = 1.0):
 # TAA (reference TAA.compute: history blend with neighborhood clamp)
 # ---------------------------------------------------------------------------
 
-def taa(cur, history, alpha: float = 0.1):
-    """Static-camera TAA: clamp history to the 3x3 neighborhood min/max of
-    the current frame, then exponential blend."""
+def taa(cur, history, alpha: float = 0.1, motion=None):
+    """TAA: reproject history along motion vectors (post/motion.py pixel
+    offsets; None = static camera), clamp to the 3x3 neighborhood min/max
+    of the current frame, then exponential blend (reference TAA.compute
+    prepare/taa passes)."""
+    if motion is not None:
+        H, W = cur.shape[:2]
+        sy = jnp.arange(H)[:, None] - motion[..., 1]
+        sx = jnp.arange(W)[None, :] - motion[..., 0]
+        ys = jnp.clip(sy.astype(jnp.int32), 0, H - 1)
+        xs = jnp.clip(sx.astype(jnp.int32), 0, W - 1)
+        inb = (sy >= 0) & (sy < H) & (sx >= 0) & (sx < W)
+        history = jnp.where(inb[..., None], history[ys, xs], cur)
     shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
               (1, -1), (1, 0), (1, 1)]
     nmin = cur
@@ -181,12 +194,14 @@ def sharpen_cas(img, amount: float = 0.3):
 # full chain
 # ---------------------------------------------------------------------------
 
-def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None):
+def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None,
+                motion: Optional[jnp.ndarray] = None):
     """Linear HDR [H,W,3] -> display [H,W,3] in [0,1] (+ new TAA history).
 
     Order mirrors the reference's Render() tail
     (RayTracingMaster.cs:1132-1182): autoexpose → bloom → tonemap → TAA →
-    sharpen → gamma."""
+    sharpen → gamma. motion: [H,W,2] pixel offsets for TAA history
+    reprojection (None = static)."""
     x = img * cfg.exposure
     if cfg.auto_expose:
         x = auto_exposure(x)
@@ -195,7 +210,7 @@ def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None):
     x = _TONEMAPS[cfg.tonemap](x)
     new_history = x
     if history is not None:
-        x = taa(x, history, cfg.taa_alpha)
+        x = taa(x, history, cfg.taa_alpha, motion=motion)
         new_history = x
     if cfg.sharpen > 0:
         x = sharpen_cas(x, cfg.sharpen)

@@ -100,8 +100,11 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     (integrator stats). motion: [H,W,2] pixel offsets (None = static).
     alpha_map: optional per-pixel temporal blend override (ASVGF gradients
     drive this — post/asvgf.py)."""
-    # demodulate albedo so the filter works on irradiance
-    demod = noisy / jnp.maximum(albedo, 1e-3)
+    # demodulate albedo so the filter works on irradiance. The floor is
+    # 0.05 (not 1e-3): near-black albedo would amplify residual radiance
+    # (specular on dark surfaces) ~1000x into single-pixel speckles; the
+    # re-modulation below uses the same floor so the round trip is exact
+    demod = noisy / jnp.maximum(albedo, 0.05)
     lum = luminance(demod)
 
     # ---- temporal reprojection + validity (normal/depth similarity gate,
@@ -167,7 +170,7 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
         if i == 0:
             new_hist_color = color_f
 
-    out = color_f * jnp.maximum(albedo, 1e-3)
+    out = color_f * jnp.maximum(albedo, 0.05)
     new_state = SVGFState(color=new_hist_color, moments=moments_t,
                           hist_len=hist_len, normal=normal, depth=depth)
     return out, new_state

@@ -20,10 +20,9 @@ from truetrace_tpu.integrate.pathtrace import (
     RenderConfig, render_sample_with_stats)
 from truetrace_tpu.integrate.radiance_cache import (
     RadianceCache, cache_resolve, render_sample_cached)
-from truetrace_tpu.integrate.restir import ReSTIRState, restir_gi_step
-from truetrace_tpu.integrate.restir_di import ReSTIRDIState, restir_di_step
-from truetrace_tpu.post.asvgf import (ASVGFState, asvgf_step,
-                                       restir_asvgf_step)
+from truetrace_tpu.integrate.restir import ReSTIRState
+from truetrace_tpu.integrate.restir_di import ReSTIRDIState
+from truetrace_tpu.post.asvgf import ASVGFState
 from truetrace_tpu.post.pipeline import Accumulator, PostConfig, postprocess
 from truetrace_tpu.post.recur import ReCurState, recur_denoise
 from truetrace_tpu.post.svgf import SVGFState, svgf_denoise
@@ -124,14 +123,22 @@ class Renderer:
         RayTracingMaster.cs:375-392)."""
         return state._replace(accum=state.accum.reset())
 
-    def step(self, state: FrameState, cam: Optional[Camera] = None):
+    def step(self, state: FrameState, cam: Optional[Camera] = None,
+             scene: Optional[Scene] = None):
         """One frame: trace (+restir/cache), denoise, accumulate, post.
         Returns (display_image [H,W,3] in [0,1], radiance [H,W,3],
         new_state). Pass `cam` to move the camera — temporal passes
         reproject their history with motion vectors from the previous
-        frame's camera (post/motion.py)."""
+        frame's camera (post/motion.py). Pass `scene` for dynamic
+        geometry (scene/dynamic.py pose_scene or
+        scene/instances.py update_instance_transforms output): progressive
+        accumulation restarts, temporal denoiser states survive — the
+        reference's RunUpdate policy (RayTracingMaster.cs:375-392)."""
         cfg = self.cfg
         rcfg = self.rcfg
+        if scene is not None:
+            self.scene = scene
+            state = state._replace(accum=state.accum.reset())
         if cam is not None:
             import numpy as _np
             moved = not _np.allclose(_np.asarray(cam.c2w),
@@ -148,73 +155,107 @@ class Renderer:
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
         new = {}
 
+        # ---- ReSTIR DI prepass: primary G-buffer feeds reservoir reuse;
+        # the chosen light samples drive the main trace's bounce-0 NEE
+        # (composed, not exclusive — reference runs its RIS selection
+        # inside the one shade kernel, RayTracingMaster.cs:954-1131)
+        di_sample = None
         if cfg.use_restir_di:
-            # direct light from DI reservoirs (integrate/restir_di.py)
-            frame, restir_di, _ = restir_di_step(
+            from truetrace_tpu.integrate.restir_di import (
+                restir_di_reservoirs)
+            gcfg = rcfg.replace(bounces=1, use_nee=False,
+                                restir_capture=True, cache_capture=False,
+                                cache_query_bounce=-1)
+            _, gst = render_sample_with_stats(self.scene, self.cam, gcfg,
+                                              pixel, sid)
+            di_sample, di_state = restir_di_reservoirs(
                 self.scene, self.cam, rcfg, state.restir_di, sid,
-                prev_cam=state.prev_cam)
-            new["restir_di"] = restir_di
-            st = None
-        elif cfg.use_restir and cfg.denoiser == "asvgf":
-            # ReSTIR-ASVGF (reference ReSTIRASVGF.cs): validation
-            # gradients drive the filter's history clamp
-            frame, restir, svgf, _ = restir_asvgf_step(
-                self.scene, self.cam, rcfg, state.restir, state.svgf,
-                sid, prev_cam=state.prev_cam)
-            new["restir"] = restir
-            new["svgf"] = svgf
-            st = None
-        elif cfg.use_restir:
-            img, restir, _ = restir_gi_step(self.scene, self.cam, rcfg,
-                                            state.restir, sid,
-                                            prev_cam=state.prev_cam)
-            new["restir"] = restir
-            frame = img
-            st = None
-        elif cfg.use_radiance_cache:
-            rad, cache = render_sample_cached(self.scene, self.cam, rcfg,
-                                              state.cache, pixel, sid)
+                gst["x1"].reshape(h, w, 3),
+                gst["normal"].reshape(h, w, 3),
+                gst["depth"].reshape(h, w), prev_cam=state.prev_cam)
+            new["restir_di"] = di_state
+
+        # ---- the ONE wavefront trace: integrator + ReSTIR captures +
+        # radiance-cache records all come out of this single bounce loop
+        if cfg.use_radiance_cache:
+            rad, st, cache = render_sample_cached(
+                self.scene, self.cam, rcfg, state.cache, pixel, sid,
+                di_sample=di_sample)
             new["cache"] = cache_resolve(cache)
-            frame = rad.reshape(h, w, 3)
-            st = None
-        elif cfg.denoiser == "asvgf":
-            out, asvgf, _ = asvgf_step(self.scene, self.cam, rcfg,
-                                       state.asvgf, sid)
-            new["asvgf"] = asvgf
-            frame = out
-            st = None
         else:
             rad, st = render_sample_with_stats(self.scene, self.cam, rcfg,
-                                               pixel, sid)
-            frame = rad.reshape(h, w, 3)
+                                               pixel, sid,
+                                               di_sample=di_sample)
+        frame = rad.reshape(h, w, 3)
+        albedo = st["albedo"].reshape(h, w, 3)
+        normal = st["normal"].reshape(h, w, 3)
+        depth = st["depth"].reshape(h, w)
+        gradient = None
+
+        # ---- ReSTIR GI: reservoir-shaded indirect replaces the traced
+        # indirect; its temporal-validation gradients feed ASVGF below
+        if cfg.use_restir:
+            from truetrace_tpu.integrate.restir import restir_gi_from_stats
+            frame, restir, aux = restir_gi_from_stats(
+                self.scene, self.cam, rcfg, state.restir, sid, st,
+                prev_cam=state.prev_cam)
+            new["restir"] = restir
+            gradient = aux["gradient"]
 
         motion = None
-        if state.prev_cam is not None and st is not None:
+        if state.prev_cam is not None:
             from truetrace_tpu.post.motion import motion_vectors
-            motion = motion_vectors(state.prev_cam, self.cam,
-                                    st["depth"].reshape(h, w))
-        if cfg.denoiser == "svgf" and st is not None:
-            frame, svgf = svgf_denoise(
-                frame, st["albedo"].reshape(h, w, 3),
-                st["normal"].reshape(h, w, 3),
-                st["depth"].reshape(h, w), state.svgf, motion=motion)
+            motion = motion_vectors(state.prev_cam, self.cam, depth)
+
+        # ---- denoise
+        if cfg.denoiser == "svgf":
+            frame, svgf = svgf_denoise(frame, albedo, normal, depth,
+                                       state.svgf, motion=motion)
             new["svgf"] = svgf
-        elif cfg.denoiser == "recur" and st is not None:
-            frame, recur = recur_denoise(
-                frame, st["albedo"].reshape(h, w, 3),
-                st["normal"].reshape(h, w, 3),
-                st["depth"].reshape(h, w), state.recur, motion=motion)
+        elif cfg.denoiser == "asvgf" and cfg.use_restir:
+            # ReSTIR-ASVGF (reference ReSTIRASVGF.compute): validation
+            # gradients from the GI pass drive the history clamp — no
+            # replay stratum, no extra trace
+            from truetrace_tpu.post.asvgf import ALPHA_MAX, ALPHA_MIN
+            gd = gradient
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    gd = jnp.maximum(gd, jnp.roll(
+                        jnp.roll(gradient, dy, 0), dx, 1))
+            alpha_map = jnp.clip(ALPHA_MIN + gd * (ALPHA_MAX - ALPHA_MIN),
+                                 ALPHA_MIN, ALPHA_MAX)
+            frame, svgf = svgf_denoise(frame, albedo, normal, depth,
+                                       state.svgf, alpha_map=alpha_map,
+                                       motion=motion)
+            new["svgf"] = svgf
+        elif cfg.denoiser == "asvgf":
+            from truetrace_tpu.post.asvgf import asvgf_gradient
+            alpha_map, _, cur_lum, s2 = asvgf_gradient(
+                self.scene, self.cam, rcfg, state.asvgf, sid, rad)
+            frame, svgf_state = svgf_denoise(
+                frame, albedo, normal, depth, state.asvgf.svgf,
+                alpha_map=alpha_map, motion=motion)
+            new["asvgf"] = ASVGFState(svgf=svgf_state, prev_lum=cur_lum,
+                                      prev_sid=s2)
+        elif cfg.denoiser == "recur":
+            frame, recur = recur_denoise(frame, albedo, normal, depth,
+                                         state.recur, motion=motion)
             new["recur"] = recur
-        elif cfg.denoiser == "neural" and st is not None:
+        elif cfg.denoiser == "neural":
             # the OIDN slot: learned U-Net on (color, albedo, normal)
             from truetrace_tpu.post.neural import denoise as neural_denoise
-            frame = neural_denoise(self.neural_params, frame,
-                                   st["albedo"].reshape(h, w, 3),
-                                   st["normal"].reshape(h, w, 3))
+            frame = neural_denoise(self.neural_params, frame, albedo,
+                                   normal)
+
+        # ---- firefly suppression before accumulation (reference
+        # FireFlyPass.shader blit, RayTracingMaster.cs:1132)
+        if cfg.post.firefly > 0.0:
+            from truetrace_tpu.post.pipeline import firefly_clamp
+            frame = firefly_clamp(frame, cfg.post.firefly)
 
         accum = state.accum.add(frame)
         display, taa_hist = postprocess(accum.image, cfg.post,
-                                        state.taa_history)
+                                        state.taa_history, motion=motion)
         new_state = state._replace(
             accum=accum, sample=sid + 1, taa_history=taa_hist,
             prev_cam=self.cam, **new)

@@ -48,6 +48,15 @@ class InstancedScene:
     n_instances: int
     inst_rows: jnp.ndarray = None   # [I,30] instance rows (TLAS leaf order)
     n_tlas_nodes: int = 0
+    # full vertex attributes (local space, CWBVH order) + source metadata,
+    # populated so compile_scene_instanced can build a shade-able Scene
+    tri_n: jnp.ndarray = None       # [T,3,3]
+    tri_uv: jnp.ndarray = None      # [T,3,2]
+    tri_tan: jnp.ndarray = None     # [T,3]
+    src_tri_offset: np.ndarray = None   # [S] int
+    src_tri_count: np.ndarray = None    # [S]
+    inst_src: np.ndarray = None         # [I] source id per instance
+    src_local_aabb: np.ndarray = None   # [S,2,3] local root bounds
 
 
 def _mat34(m: np.ndarray) -> np.ndarray:
@@ -76,7 +85,9 @@ def build_instanced(sources: Sequence[HostMesh],
     instances: (source_id, l2w 4x4) pairs."""
     nodes_list, row_list = [], []
     p0l, e1l, e2l, matl = [], [], [], []
+    nl, uvl, tanl = [], [], []
     src_tables = []
+    src_off, src_cnt, src_aabb = [], [], []
     n_off = t_off = l_off = 0
     for mesh in sources:
         tris = flatten_meshes([mesh])
@@ -103,7 +114,15 @@ def build_instanced(sources: Sequence[HostMesh],
         e1l.append(e1)
         e2l.append(e2)
         matl.append(mat)
-        src_tables.append((n_off, t_off, box[bvh.order][cw.tri_index]))
+        nl.append(tris["n"][perm])
+        uvl.append(tris["uv"][perm])
+        tanl.append(tris["tan"][perm])
+        local_boxes = box[bvh.order][cw.tri_index]
+        src_tables.append((n_off, t_off, local_boxes))
+        src_off.append(t_off)
+        src_cnt.append(p0.shape[0])
+        src_aabb.append(np.stack([local_boxes[:, 0].min(0),
+                                  local_boxes[:, 1].max(0)]))
         n_off += w.shape[0]
         t_off += p0.shape[0]
         l_off += rows.shape[0]
@@ -162,6 +181,13 @@ def build_instanced(sources: Sequence[HostMesh],
         n_instances=len(instances),
         inst_rows=jnp.asarray(inst_rows),
         n_tlas_nodes=n_tlas,
+        tri_n=jnp.asarray(np.concatenate(nl)),
+        tri_uv=jnp.asarray(np.concatenate(uvl)),
+        tri_tan=jnp.asarray(np.concatenate(tanl)),
+        src_tri_offset=np.asarray(src_off, np.int64),
+        src_tri_count=np.asarray(src_cnt, np.int64),
+        inst_src=np.asarray([s for s, _ in instances], np.int64),
+        src_local_aabb=np.stack(src_aabb).astype(np.float32),
     )
 
 
@@ -178,6 +204,279 @@ def any_hit_instanced_tlas(sc: InstancedScene, ro, rd, t_max):
     from truetrace_tpu.kernels.cwbvh_tlas import any_hit_tlas
     return any_hit_tlas(sc.cw_nodes, sc.leaf_rows, sc.inst_rows,
                         ro, rd, t_max)
+
+
+def _world_light_tris(isc: InstancedScene, mats, l2w_rows: np.ndarray):
+    """Materialize world-space copies of every emissive instance triangle
+    (NEE needs world geometry; the shared BLAS rows are local). Returns
+    dict of appended arrays + per-local-row emissive rank + per-instance
+    light offset."""
+    emis = np.array([np.max(m.emission) for m in mats], np.float32)
+    mat_np = np.asarray(isc.tri_mat)
+    T_local = mat_np.shape[0]
+    em_rank = np.full((T_local,), -1, np.int32)
+    src_em_ids = []
+    for s in range(len(isc.src_tri_offset)):
+        o = int(isc.src_tri_offset[s])
+        c = int(isc.src_tri_count[s])
+        ids = o + np.nonzero(emis[mat_np[o:o + c]] > 0.0)[0]
+        em_rank[ids] = np.arange(ids.size, dtype=np.int32)
+        src_em_ids.append(ids.astype(np.int64))
+
+    p0 = np.asarray(isc.tri_p0)
+    e1 = np.asarray(isc.tri_e1)
+    e2 = np.asarray(isc.tri_e2)
+    nrm = np.asarray(isc.tri_n)
+    uv = np.asarray(isc.tri_uv)
+    tan = np.asarray(isc.tri_tan)
+
+    ap = {k: [] for k in ("p0", "e1", "e2", "n", "uv", "tan", "mat")}
+    light_offset = np.full((isc.n_instances,), -1, np.int32)
+    total = 0
+    for i in range(isc.n_instances):
+        ids = src_em_ids[int(isc.inst_src[i])]
+        if ids.size == 0:
+            continue
+        m34 = l2w_rows[i]
+        rot = m34[:, :3]
+        light_offset[i] = total
+        total += ids.size
+        ap["p0"].append(p0[ids] @ rot.T + m34[:, 3])
+        ap["e1"].append(e1[ids] @ rot.T)
+        ap["e2"].append(e2[ids] @ rot.T)
+        nw = nrm[ids] @ rot.T
+        nw /= np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-12)
+        ap["n"].append(nw)
+        ap["uv"].append(uv[ids])
+        ap["tan"].append(tan[ids] @ rot.T)
+        ap["mat"].append(mat_np[ids])
+    if total == 0:
+        app = {k: np.zeros((0,) + {
+            "p0": (3,), "e1": (3,), "e2": (3,), "n": (3, 3),
+            "uv": (3, 2), "tan": (3,), "mat": ()}[k],
+            np.int32 if k == "mat" else np.float32)
+            for k in ap}
+    else:
+        app = {k: np.concatenate(v).astype(
+            np.int32 if k == "mat" else np.float32) for k, v in ap.items()}
+    return app, em_rank, light_offset
+
+
+def compile_scene_instanced(sources: Sequence[HostMesh], mats,
+                            instances: Sequence[Tuple[int, np.ndarray]],
+                            env=None, lights=None, atlas=None,
+                            atlas_rects=None, atlas_level_y=None,
+                            with_light_bvh: bool = False):
+    """Build a full render-ready Scene for an instanced world: shared
+    local-space BLASes + an interleaved TLAS (traversal="tlas"), with
+    materials/normals/UVs/NEE all wired through the integrator — the
+    counterpart of the reference's instancing consumption
+    (AssetManager.cs:1714-1750 + IntersectionKernels.compute:155-252).
+
+    Returns (Scene, InstancedScene). Keep the InstancedScene handle for
+    per-frame transform updates (update_instance_transforms)."""
+    from truetrace_tpu.scene.ir import (
+        AnalyticLights, EnvMap, LightTris, MeshTable, Scene)
+    from truetrace_tpu.scene.mesh import material_table
+
+    isc = build_instanced(sources, instances)
+    l2w_np = np.asarray(isc.l2w)
+    app, em_rank, light_offset = _world_light_tris(isc, mats, l2w_np)
+    T_local = int(np.asarray(isc.tri_mat).shape[0])
+    A = app["mat"].shape[0]
+
+    tri = {k: np.concatenate([loc, app[k]]) for k, loc in (
+        ("p0", np.asarray(isc.tri_p0)), ("e1", np.asarray(isc.tri_e1)),
+        ("e2", np.asarray(isc.tri_e2)), ("n", np.asarray(isc.tri_n)),
+        ("uv", np.asarray(isc.tri_uv)), ("tan", np.asarray(isc.tri_tan)),
+        ("mat", np.asarray(isc.tri_mat)))}
+
+    # light list over the appended world rows
+    T = T_local + A
+    if A > 0:
+        ids = (T_local + np.arange(A)).astype(np.int32)
+        area = 0.5 * np.linalg.norm(
+            np.cross(tri["e1"][ids], tri["e2"][ids]), axis=-1)
+        lum = np.array([0.2126 * m.emission[0] + 0.7152 * m.emission[1]
+                        + 0.0722 * m.emission[2] for m in mats], np.float32)
+        power = (area * lum[tri["mat"][ids]] * np.pi).astype(np.float32)
+        cdf = np.cumsum(power)
+        cdf /= max(cdf[-1], 1e-20)
+        pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
+        inv = np.full((T,), -1, np.int32)
+        inv[ids] = np.arange(A, dtype=np.int32)
+        light_tris = LightTris(
+            tri_index=jnp.asarray(ids), power=jnp.asarray(power),
+            cdf=jnp.asarray(cdf.astype(np.float32)), pmf=jnp.asarray(pmf),
+            tri_to_light=jnp.asarray(inv))
+    else:
+        light_tris = LightTris(
+            tri_index=jnp.zeros((0,), jnp.int32),
+            power=jnp.zeros((0,), jnp.float32),
+            cdf=jnp.zeros((0,), jnp.float32),
+            pmf=jnp.zeros((0,), jnp.float32),
+            tri_to_light=jnp.full((T,), -1, jnp.int32))
+
+    lbvh_nodes = jnp.zeros((0, 12), jnp.float32)
+    lbvh_info = jnp.zeros((0, 2), jnp.int32)
+    lbvh_prim = jnp.zeros((0,), jnp.int32)
+    lbvh_trail = jnp.zeros((0,), jnp.uint32)
+    lbvh_pairs = jnp.zeros((0, 26), jnp.float32)
+    lbvh_pair_children = jnp.zeros((0, 2), jnp.int32)
+    if with_light_bvh and A > 1:
+        from truetrace_tpu.build.lightbvh import build_light_bvh, build_pairs
+        lb = build_light_bvh(tri, np.asarray(light_tris.tri_index),
+                             np.asarray(light_tris.power))
+        pairs, pair_children = build_pairs(lb.nodes, lb.info)
+        lbvh_nodes = jnp.asarray(lb.nodes)
+        lbvh_info = jnp.asarray(lb.info)
+        lbvh_prim = jnp.asarray(lb.prim)
+        lbvh_trail = jnp.asarray(lb.trail)
+        lbvh_pairs = jnp.asarray(pairs)
+        lbvh_pair_children = jnp.asarray(pair_children)
+
+    w2l44 = np.zeros((isc.n_instances, 4, 4), np.float32)
+    l2w44 = np.zeros((isc.n_instances, 4, 4), np.float32)
+    for i, (_, m) in enumerate(instances):
+        l2w44[i] = m
+        w2l44[i] = np.linalg.inv(m)
+    mesh_table = MeshTable(
+        w2l=jnp.asarray(w2l44), l2w=jnp.asarray(l2w44),
+        node_offset=isc.node_offset, tri_offset=isc.tri_offset,
+        light_node_offset=jnp.asarray(light_offset),
+        aabb=isc.world_aabb)
+
+    scene = Scene(
+        tri_p0=jnp.asarray(tri["p0"]), tri_e1=jnp.asarray(tri["e1"]),
+        tri_e2=jnp.asarray(tri["e2"]), tri_n=jnp.asarray(tri["n"]),
+        tri_uv=jnp.asarray(tri["uv"]), tri_tan=jnp.asarray(tri["tan"]),
+        tri_mat=jnp.asarray(tri["mat"]),
+        bvh2_box=jnp.zeros((0, 2, 3), jnp.float32),
+        bvh2_left=jnp.zeros((0,), jnp.int32),
+        bvh2_count=jnp.zeros((0,), jnp.int32),
+        cw_nodes=isc.cw_nodes, cw_tri_index=jnp.zeros((0,), jnp.int32),
+        cw_leaf_rows=isc.leaf_rows,
+        woop=jnp.zeros((0, 24), jnp.float32),
+        atlas=jnp.asarray(atlas, jnp.float32) if atlas is not None
+        else jnp.zeros((1, 1, 4), jnp.float32),
+        atlas_rects=jnp.asarray(atlas_rects, jnp.int32)
+        if atlas_rects is not None else jnp.zeros((0, 4), jnp.int32),
+        atlas_level_y=jnp.asarray(atlas_level_y, jnp.int32)
+        if atlas_level_y is not None else jnp.zeros((1,), jnp.int32),
+        tri_lod=jnp.zeros((T,), jnp.float32),
+        materials=material_table(mats), mesh_table=mesh_table,
+        light_tris=light_tris,
+        lights=lights if lights is not None else AnalyticLights.none(),
+        env=env if env is not None else EnvMap.constant((0.0, 0.0, 0.0)),
+        lbvh_nodes=lbvh_nodes, lbvh_info=lbvh_info, lbvh_prim=lbvh_prim,
+        lbvh_trail=lbvh_trail, lbvh_pairs=lbvh_pairs,
+        lbvh_pair_children=lbvh_pair_children,
+        inst_rows=isc.inst_rows, inst_l2w=isc.l2w,
+        inst_em_rank=jnp.asarray(em_rank),
+        inst_light_offset=jnp.asarray(light_offset),
+    )
+    return scene, isc
+
+
+def update_instance_transforms(scene, isc: InstancedScene, mats,
+                               instances: Sequence[Tuple[int, np.ndarray]]):
+    """Per-frame dynamic-geometry update: new instance transforms ->
+    rebuild the (tiny) TLAS over transformed source AABBs on the host,
+    refresh instance rows, l2w, world light triangles and the light CDF.
+    The shared BLASes are untouched (the reference's per-frame UpdateTLAS
+    policy: CPU TLAS rebuild + unchanged BLAS, AssetManager.cs:1610-1845).
+
+    Returns (new_scene, new_isc)."""
+    from truetrace_tpu.kernels.cwbvh_tlas import pack_instance_rows
+    from truetrace_tpu.scene.ir import LightTris
+
+    n_tlas_old = isc.n_tlas_nodes
+    l2w_rows = np.stack([_mat34(m) for _, m in instances])
+    w2l_rows = np.stack([_mat34(np.linalg.inv(m)) for _, m in instances])
+    n_offs = np.asarray(isc.node_offset)          # already TLAS-shifted
+    aabbs = []
+    for i, (src_id, m) in enumerate(instances):
+        lo, hi = isc.src_local_aabb[src_id]
+        corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                            for y in (lo[1], hi[1])
+                            for z in (lo[2], hi[2])], np.float32)
+        wc = corners @ m[:3, :3] + m[3, :3]
+        aabbs.append(np.stack([wc.min(0), wc.max(0)]))
+    world_aabb = np.stack(aabbs).astype(np.float32)
+
+    bvh_t = build_bvh2(world_aabb, max_leaf=1, sah_leaf_cap=1,
+                       use_native=False)
+    cw_t = build_cwbvh(bvh_t, world_aabb[bvh_t.order], use_native=False)
+    inst_perm = bvh_t.order[cw_t.tri_index]
+    mask = cw_t.slot_tri_count > 0
+    per_node = mask.sum(axis=1)
+    base_row = np.concatenate([[0], np.cumsum(per_node)[:-1]])
+    tlas_nodes = cw_t.nodes.copy()
+    tlas_nodes[:, 5] = base_row.astype(np.uint32)
+    n_tlas = tlas_nodes.shape[0]
+    assert n_tlas == n_tlas_old, \
+        "TLAS node count changed; rebuild via compile_scene_instanced"
+    row_inst = inst_perm[cw_t.slot_tri_base[mask]]
+    inst_rows = pack_instance_rows(w2l_rows[row_inst],
+                                   np.asarray(n_offs)[row_inst], row_inst)
+    # TLAS children stay within rows [0, n_tlas); BLAS pointers in the
+    # untouched tail already carry the +n_tlas shift from build time
+
+    nodes = np.asarray(scene.cw_nodes).copy()
+    nodes[:n_tlas] = tlas_nodes
+    new_isc = InstancedScene(
+        **{**isc.__dict__,
+           "cw_nodes": jnp.asarray(nodes),
+           "l2w": jnp.asarray(l2w_rows), "w2l": jnp.asarray(w2l_rows),
+           "world_aabb": jnp.asarray(world_aabb),
+           "inst_rows": jnp.asarray(inst_rows)})
+
+    app, em_rank, light_offset = _world_light_tris(new_isc, mats, l2w_rows)
+    T_local = int(np.asarray(isc.tri_mat).shape[0])
+    A = app["mat"].shape[0]
+    upd = dict(
+        cw_nodes=new_isc.cw_nodes, inst_rows=new_isc.inst_rows,
+        inst_l2w=new_isc.l2w,
+        inst_light_offset=jnp.asarray(light_offset))
+    if A > 0:
+        # refresh the appended world light rows in place (same count —
+        # emissive topology is static, only transforms move)
+        for key, col in (("p0", "tri_p0"), ("e1", "tri_e1"),
+                         ("e2", "tri_e2"), ("n", "tri_n"),
+                         ("tan", "tri_tan")):
+            full = np.asarray(getattr(scene, col)).copy()
+            full[T_local:] = app[key]
+            upd[col] = jnp.asarray(full)
+        ids = np.asarray(scene.light_tris.tri_index)
+        area = 0.5 * np.linalg.norm(
+            np.cross(app["e1"], app["e2"]), axis=-1)
+        lum = np.array([0.2126 * m.emission[0] + 0.7152 * m.emission[1]
+                        + 0.0722 * m.emission[2] for m in mats], np.float32)
+        power = (area * lum[app["mat"]] * np.pi).astype(np.float32)
+        cdf = np.cumsum(power)
+        cdf /= max(cdf[-1], 1e-20)
+        pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
+        upd["light_tris"] = LightTris(
+            tri_index=scene.light_tris.tri_index,
+            power=jnp.asarray(power),
+            cdf=jnp.asarray(cdf.astype(np.float32)),
+            pmf=jnp.asarray(pmf),
+            tri_to_light=scene.light_tris.tri_to_light)
+        if scene.lbvh_pairs.shape[0] > 0:
+            from truetrace_tpu.build.lightbvh import (build_light_bvh,
+                                                      build_pairs)
+            tri_full = {k: np.asarray(upd.get(c, getattr(scene, c)))
+                        for k, c in (("p0", "tri_p0"), ("e1", "tri_e1"),
+                                     ("e2", "tri_e2"))}
+            lb = build_light_bvh(tri_full, ids, power)
+            pairs, pair_children = build_pairs(lb.nodes, lb.info)
+            upd.update(lbvh_nodes=jnp.asarray(lb.nodes),
+                       lbvh_info=jnp.asarray(lb.info),
+                       lbvh_prim=jnp.asarray(lb.prim),
+                       lbvh_trail=jnp.asarray(lb.trail),
+                       lbvh_pairs=jnp.asarray(pairs),
+                       lbvh_pair_children=jnp.asarray(pair_children))
+    return scene.replace(**upd), new_isc
 
 
 def _xform_point(m34, p):

@@ -215,6 +215,17 @@ class Scene:
     # kernel_heightmap), optional
     terrain: Optional[Any] = None
 
+    # instanced-scene extras (scene/instances.py compile_scene_instanced;
+    # consumed by the traversal="tlas" path — reference two-level
+    # kernel_trace, IntersectionKernels.compute:155-252, instance table
+    # AssetManager.cs:1714-1750). Triangle arrays hold LOCAL-space rows
+    # for the shared BLASes; emissive instance triangles are additionally
+    # materialized in WORLD space and appended (NEE samples those rows).
+    inst_rows: Optional[Any] = None          # [I,30] TLAS instance rows
+    inst_l2w: Optional[Any] = None           # [I,3,4] local->world rows
+    inst_em_rank: Optional[Any] = None       # [T] emissive rank in source
+    inst_light_offset: Optional[Any] = None  # [I] light-list base (-1)
+
     def n_tris(self) -> int:
         return self.tri_p0.shape[0]
 

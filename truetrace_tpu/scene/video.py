@@ -55,10 +55,23 @@ def bind_video_frame(scene: Scene, video: VideoTexture, frame_index
     idx = jnp.asarray(frame_index, jnp.int32) % video.n_frames
     frame = video.frames[idx]                       # [H,W,4]
     rect = scene.atlas_rects[video.tex_id]          # (x,y,w,h) static slot
-    # level 0 only: video surfaces are sampled without mips (the
-    # reference's VideoTex is an un-mipped RT as well)
-    atlas = jax.lax.dynamic_update_slice(
-        scene.atlas, frame, (rect[1], rect[0], jnp.int32(0)))
+    # update EVERY mip level: the integrator samples albedo through
+    # ray-cone LOD (atlas.sample_atlas level_y), so a level-0-only write
+    # would leave stale first-frame content wherever lod rounds to >= 1
+    atlas = scene.atlas
+    n_levels = int(scene.atlas_level_y.shape[0])
+    lv = frame
+    for k in range(n_levels):
+        if lv.shape[0] < 1 or lv.shape[1] < 1:
+            break
+        atlas = jax.lax.dynamic_update_slice(
+            atlas, lv,
+            ((rect[1] >> k) + scene.atlas_level_y[k], rect[0] >> k,
+             jnp.int32(0)))
+        hh, ww = lv.shape[0] // 2, lv.shape[1] // 2
+        if hh < 1 or ww < 1:
+            break
+        lv = lv[:hh * 2, :ww * 2].reshape(hh, 2, ww, 2, 4).mean(axis=(1, 3))
     return scene.replace(atlas=atlas)
 
 
