@@ -57,7 +57,9 @@ def main():
 
     out = {}
     variants = [
-        ("full_tree", dict(light_sampling="tree")),
+        ("full_tree", dict(light_sampling="tree")),          # approx MIS
+        ("exact_mis", dict(light_sampling="tree", nee_mis="exact")),
+        ("tree_rr", dict(light_sampling="tree", nee_rr=0.02)),
         ("cdf_select", dict(light_sampling="cdf")),
         ("no_shadow", dict(light_sampling="tree", debug_nee="noshadow")),
         ("no_mis_walk", dict(light_sampling="tree", debug_nee="nomis")),

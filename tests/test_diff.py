@@ -145,3 +145,94 @@ def test_optimization_recovers_albedo(setup):
         cur = set_material_params(cur, p)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_grad_env_intensity_fd():
+    """FD gate for the environment-intensity gradient (linear parameter:
+    AD and central differences must agree tightly)."""
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.ir import EnvMap
+
+    meshes, mats, cam = cornell.make()
+    env = EnvMap.constant((0.4, 0.5, 0.7))
+    scene = compile_scene(meshes, mats, env=env)
+    cfg = RenderConfig(width=16, height=16, bounces=2, bsdf="lambert")
+
+    def loss_of(inten):
+        sc = scene.replace(env=scene.env.replace(intensity=inten))
+        return _loss(sc, cam, cfg, spp=4)
+
+    g_ad = float(jax.grad(loss_of)(jnp.float32(1.0)))
+    eps = 1e-2
+    g_fd = (float(loss_of(jnp.float32(1.0 + eps)))
+            - float(loss_of(jnp.float32(1.0 - eps)))) / (2 * eps)
+    assert abs(g_ad - g_fd) <= 0.02 * max(abs(g_fd), 1e-6), (g_ad, g_fd)
+    assert abs(g_ad) > 1e-6
+
+
+def test_grad_light_radiance_fd():
+    """FD gate for analytic-light radiance gradients."""
+    from truetrace_tpu.integrate.lights import AnalyticLights
+    from truetrace_tpu.scene import cornell
+
+    meshes, mats, cam = cornell.make()
+    lights = AnalyticLights(
+        position=jnp.asarray([[0.0, 0.45, 0.3]], jnp.float32),
+        direction=jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32),
+        radiance=jnp.asarray([[3.0, 2.0, 1.0]], jnp.float32),
+        ltype=jnp.asarray([0], jnp.int32),
+        spot_cos=jnp.asarray([[0.9, 0.8]], jnp.float32),
+        extent=jnp.asarray([[0.3, 0.3]], jnp.float32),
+        softness=jnp.asarray([0.0], jnp.float32))
+    scene = compile_scene(meshes, mats, lights=lights)
+    cfg = RenderConfig(width=16, height=16, bounces=2, bsdf="lambert")
+
+    def loss_of(rad):
+        sc = scene.replace(lights=scene.lights.replace(radiance=rad))
+        return _loss(sc, cam, cfg, spp=4)
+
+    r0 = scene.lights.radiance
+    g_ad = np.asarray(jax.grad(loss_of)(r0))
+    d = np.asarray([[0.7, -0.3, 0.5]], np.float32)
+    eps = 1e-2
+    lp = float(loss_of(r0 + eps * d))
+    lm = float(loss_of(r0 - eps * d))
+    fd_dir = (lp - lm) / (2 * eps)
+    ad_dir = float((g_ad * d).sum())
+    assert abs(ad_dir - fd_dir) <= 0.05 * max(abs(fd_dir), 1e-7), \
+        (ad_dir, fd_dir)
+    assert abs(ad_dir) > 1e-8
+
+
+def test_scene_params_roundtrip(setup):
+    from truetrace_tpu.diff.render_grad import (get_scene_params,
+                                                set_scene_params)
+    scene, cam, cfg = setup
+    p = get_scene_params(scene)
+    assert "env_intensity" in p
+    p2 = {k: v * 2.0 if v.dtype.kind == "f" else v for k, v in p.items()}
+    sc = set_scene_params(scene, p2)
+    assert float(sc.env.intensity) == 2.0 * float(scene.env.intensity)
+    np.testing.assert_allclose(np.asarray(sc.materials.base_color),
+                               2.0 * np.asarray(scene.materials.base_color))
+
+
+def test_remat_backward_memory(setup):
+    """SURVEY M3 gate: with remat + detached traversal, backward temp
+    memory must stay within 2x of the forward pass (per XLA's own
+    memory analysis)."""
+    scene, cam, _ = setup
+    cfg = RenderConfig(width=32, height=32, bounces=6, bsdf="disney",
+                       remat=True)
+
+    def fwd(bc):
+        sc = scene.replace(materials=scene.materials.replace(
+            base_color=bc))
+        return _loss(sc, cam, cfg, spp=1)
+
+    bc0 = scene.materials.base_color
+    c_fwd = jax.jit(fwd).lower(bc0).compile()
+    c_bwd = jax.jit(jax.grad(fwd)).lower(bc0).compile()
+    m_fwd = c_fwd.memory_analysis().temp_size_in_bytes
+    m_bwd = c_bwd.memory_analysis().temp_size_in_bytes
+    assert m_bwd <= 2.0 * max(m_fwd, 1 << 20), (m_fwd, m_bwd)

@@ -65,6 +65,10 @@ class RenderConfig:
     # unbiased); 0 disables. Counterpart of the reference's NEE RR
     # (RayTracingShader.compute:418-484).
     nee_rr: float = struct.field(pytree_node=False, default=0.0)
+    # rematerialize the bounce body in backward passes (jax.checkpoint):
+    # O(per-bounce state) backward memory instead of O(all shading
+    # intermediates) — the stored-path replay; diff/render_grad.py
+    remat: bool = struct.field(pytree_node=False, default=False)
     # profiling-only ablation knob ("" | "noshadow" | "nomis"): disables
     # one NEE component to attribute frame cost (scripts/profile_nee.py).
     # Renders are BIASED with a non-empty value — never use for output.
@@ -250,6 +254,32 @@ def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     return blocked
 
 
+def _transmission(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
+    """Shadow-ray transmittance [R,3]: binary visibility on all-opaque
+    scenes (fast any-hit), per-surface tint product through cutout-alpha
+    and stained glass otherwise (reference CommonData.cginc:593-634;
+    StainedGlassShadows define). The two-level "tlas" path currently
+    falls back to binary occlusion (tinted instanced shadows TODO)."""
+    if scene.tri_shadow is None or cfg.traversal == "tlas":
+        blocked = _occluded(scene, ro, rd, t_max, cfg)
+        return jnp.where(blocked[..., None], 0.0, 1.0)
+    if cfg.traversal == "wavefront":
+        from truetrace_tpu.kernels.cwbvh_wavefront import transmit_wavefront
+        tp = transmit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
+                                scene.tri_shadow, ro, rd, t_max)
+    else:
+        # portable oracle path (small test scenes)
+        from truetrace_tpu.kernels.traverse_ref import transmit_brute
+        tp = transmit_brute(scene.tri_p0, scene.tri_e1, scene.tri_e2,
+                            scene.tri_shadow, ro, rd, t_max)
+    if scene.terrain is not None:
+        from truetrace_tpu.kernels.heightmap import heightmap_any
+        tp = jnp.where(
+            heightmap_any(scene.terrain, ro, rd, t_max)[..., None],
+            0.0, tp)
+    return tp
+
+
 def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     if cfg.traversal == "tlas":
         from truetrace_tpu.kernels.cwbvh_tlas import any_hit_tlas
@@ -385,6 +415,11 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          n_trace, n_shadow, r_emit0) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         hit, inst = _trace(scene, ro, rd, cfg, alive=alive)
+        # detached estimator: traversal is not differentiated — this also
+        # keeps XLA from saving while-loop carries for backward (the
+        # dominant backward-memory term; diff/render_grad.py)
+        hit = jax.tree_util.tree_map(jax.lax.stop_gradient, hit)
+        inst = jax.lax.stop_gradient(inst)
         # terrain heightfield: the reference runs kernel_heightmap after
         # kernel_trace against the same hit records
         # (RayTracingMaster.cs:975); here we march it and keep the nearer t
@@ -508,6 +543,9 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             mat = mat.replace(base_color=jnp.where(
                 (mat.tex_albedo >= 0)[..., None],
                 mat.base_color * alb[:, :3], mat.base_color))
+            # texture-driven cutout alpha (reference AdvancedAlphaMapped)
+            mat = mat.replace(alpha=jnp.where(
+                mat.tex_albedo >= 0, mat.alpha * alb[:, 3], mat.alpha))
             rm = sample_atlas(scene.atlas, scene.atlas_rects,
                               mat.tex_rough_metal, uv)
             mat = mat.replace(
@@ -533,6 +571,15 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 mat = mat.replace(base_color=jnp.where(
                     use_mc[..., None], mat.base_color * mc[:, :3],
                     mat.base_color))
+
+        # ---- cutout alpha: stochastically pass straight through partial
+        # surfaces (reference alpha-mapped any/closest-hit skips,
+        # IntersectionKernels.compute:264-498); the lane keeps flying in
+        # the same direction and spends one loop iteration
+        u_cut = rng.uniform1(pixel, sid,
+                             jnp.uint32(rng.path_dim(b, rng.DIM_AUX)))
+        passthru = hit_ok & (mat.alpha < 1.0) & (u_cut >= mat.alpha)
+        hit_ok = hit_ok & ~passthru
 
         # ---- primary-hit G-buffer
         first = (b == 0)
@@ -591,10 +638,11 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         emit_take = hit_ok & is_emis & front
         radiance = radiance + jnp.where(
             emit_take[..., None], throughput * emis * mis_w[..., None], 0.0)
-        if cfg.restir_capture:
-            # emitted-at-primary (+ env on miss), snapshotted BEFORE NEE:
-            # the piece ReSTIR DI keeps when it replaces the direct light
-            r_emit0 = jnp.where(b == 0, radiance, r_emit0)
+        # emitted-at-primary (+ env on miss), snapshotted BEFORE NEE: the
+        # piece ReSTIR DI keeps when it replaces the direct light, and the
+        # noise-free channel the denoisers pass through UNfiltered
+        # (reference CopyData splits it out, ASVGF.compute:177)
+        r_emit0 = jnp.where(b == 0, radiance, r_emit0)
 
         # ---- NEE: pick one strategy {mesh, env, analytic} per lane
         wo = -rd
@@ -706,15 +754,13 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             # non-candidate lanes shoot zero-length shadow rays: the
             # traversal cascade retires them in its first stage
             if cfg.debug_nee == "noshadow":
-                blocked = jnp.zeros((R,), bool)
+                trans = jnp.ones((R, 3), jnp.float32)
             else:
-                blocked = _occluded(scene, sro, wi_l,
-                                    jnp.where(cand,
-                                              dist_l - 2.0 * SHADOW_EPS,
-                                              0.0),
-                                    cfg)
-            take = cand & ~blocked
-            radiance = radiance + jnp.where(take[..., None], contrib, 0.0)
+                trans = jax.lax.stop_gradient(_transmission(
+                    scene, sro, wi_l,
+                    jnp.where(cand, dist_l - 2.0 * SHADOW_EPS, 0.0), cfg))
+            radiance = radiance + jnp.where(cand[..., None],
+                                            contrib * trans, 0.0)
 
         # ---- BSDF sample / continue
         u_lobe = rng.uniform1(pixel, sid,
@@ -743,15 +789,21 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         new_tp = jnp.where(do_rr,
                            new_tp / jnp.maximum(q, 1e-9)[..., None], new_tp)
 
-        alive = ok & survive & (jnp.max(new_tp, axis=-1) > 0.0)
+        alive = (ok & survive & (jnp.max(new_tp, axis=-1) > 0.0)) | passthru
         cone_w = jnp.where(hit_ok, cone_w + hit.t * cone_s, cone_w)
         cone_s = jnp.where(hit_ok, cone_s + 0.25 * mat.roughness ** 2,
                            cone_s)
         side = jnp.where(dot(wi, gn) >= 0.0, 1.0, -1.0)
-        ro = p + gn * (SHADOW_EPS * side[..., None])
-        rd = wi
-        throughput = jnp.where(alive[..., None], new_tp, throughput)
-        prev_pdf = jnp.where(alive, pdf, 0.0)
+        # cutout pass-through lanes keep flying unperturbed
+        ro = jnp.where(passthru[..., None], p + rd * SHADOW_EPS,
+                       p + gn * (SHADOW_EPS * side[..., None]))
+        rd = jnp.where(passthru[..., None], rd, wi)
+        throughput = jnp.where(passthru[..., None], throughput,
+                               jnp.where(alive[..., None], new_tp,
+                                         throughput))
+        prev_pdf = jnp.where(passthru, prev_pdf,
+                             jnp.where(alive, pdf, 0.0))
+        sn = jnp.where(passthru[..., None], prev_n, sn)
         if cfg.restir_capture:
             # snapshot direct radiance + first-bounce throughput factor
             r_direct = jnp.where(first, radiance, r_direct)
@@ -770,15 +822,17 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
              c_hash, c_key, c_prefix, c_tp, c_live,
              n_trace, n_shadow, r_emit0)
-    state = jax.lax.fori_loop(0, cfg.bounces, bounce, state)
+    body = jax.checkpoint(bounce) if cfg.remat else bounce
+    state = jax.lax.fori_loop(0, cfg.bounces, body, state)
     stats = {"n_trace": state[25], "n_shadow": state[26],
-             "albedo": state[7], "normal": state[8], "depth": state[9]}
+             "albedo": state[7], "normal": state[8], "depth": state[9],
+             "emitted0": state[27]}
     if cfg.restir_capture:
         stats.update({
             "direct": state[12], "x2": state[13], "n2": state[14],
             "tp1": state[15], "pdf1": state[16],
             "cand_valid": state[17], "x1": state[18], "mat1": state[19],
-            "indirect": state[2] - state[12], "emitted0": state[27],
+            "indirect": state[2] - state[12],
         })
     if cfg.cache_capture:
         stats.update({

@@ -260,5 +260,6 @@ def restir_gi_from_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
            "gradient": gradient,
            # primary G-buffer rides along so downstream denoisers don't
            # re-trace it (ReSTIR-ASVGF consumes these directly)
-           "albedo": im(st["albedo"], 3), "normal": n1, "depth": depth}
+           "albedo": im(st["albedo"], 3), "normal": n1, "depth": depth,
+           "emitted0": im(st["emitted0"], 3)}
     return img, new_state, aux

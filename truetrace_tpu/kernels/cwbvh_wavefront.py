@@ -309,9 +309,16 @@ def _shift_push(plane, new_col):
     return jnp.concatenate([new_col[:, None], plane[:, :-1]], axis=1)
 
 
-def _step(unified, L, C, any_hit, st):
+def _step(unified, L, C, any_hit, st, fused: bool = False):
     """One lock-step traversal iteration over the state dict (the loop body
-    described in the module docstring)."""
+    described in the module docstring).
+
+    fused=True processes one pending LEAF row AND one pending NODE slot
+    in the same iteration when a lane has both (two independent gathers
+    per latency window). Measured on v5e: 2.58 vs 2.98 Mrays/s — the
+    second gather stream costs more than the saved iterations, so the
+    default stays False (kept for bigger-table scenes where gather
+    latency dominates)."""
     ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
     hits, chim, bleaf, sp = st["hits"], st["chim"], st["bleaf"], st["sp"]
     t_best, tri_best, u_best, v_best = st["t"], st["tri"], st["u"], st["v"]
@@ -324,12 +331,15 @@ def _step(unified, L, C, any_hit, st):
     sp = sp - pop.astype(jnp.int32)
 
     # ---- 2. choose work: pending leaves first (shrinks t_best before more
-    # descents), else nearest node slot in octant order
+    # descents), plus (fused) the nearest node slot in octant order
     leaf_bits = hits & LEAF_MASK
     node_bits = hits >> 24
     active = hits != 0
     leaf_lane = active & (leaf_bits != 0)
-    descend = active & ~leaf_lane
+    if fused:
+        descend = active & (node_bits != 0)
+    else:
+        descend = active & ~leaf_lane
 
     # leaf: lowest pending slot bit; its rank among the node's leaf slots
     # addresses the packed leaf row
@@ -353,10 +363,17 @@ def _step(unified, L, C, any_hit, st):
     rank = jax.lax.population_count(below).astype(jnp.int32)
     child = jnp.clip((chim & PTR_MASK).astype(jnp.int32) + rank, 0, C - 1)
 
-    # ---- 3. THE gather: leaf lanes fetch their leaf row, descending
-    # lanes fetch their child-node row — one unified-table access
-    row_idx = jnp.where(leaf_lane, C + lrow, jnp.where(descend, child, 0))
-    row = unified[row_idx]                              # [R,30] u32
+    # ---- 3. the gathers. fused: leaf row + child node row are
+    # INDEPENDENT accesses (both indices known now) — XLA issues them in
+    # the same dependent-gather latency window. unfused: one unified access
+    if fused:
+        row = unified[jnp.where(leaf_lane, C + lrow, 0)]
+        nrow = unified[jnp.where(descend, child, 0)]
+    else:
+        row_idx = jnp.where(leaf_lane, C + lrow,
+                            jnp.where(descend, child, 0))
+        row = unified[row_idx]                          # [R,30] u32
+        nrow = row
 
     # ---- 3a. leaf lanes: <=3 Moller tests (pad tris are degenerate and
     # id-gated). Fully scalarized on [R] columns — [R,3] slices of the
@@ -398,8 +415,12 @@ def _step(unified, L, C, any_hit, st):
     # pop applies first, then push on the popped state (a lane may pop AND
     # push in one iteration — pushing onto the pre-pop stack would
     # resurrect the popped entry and drop the deepest one).
-    rest = node_rest << 24          # leaf bits drained before any descent
-    push = descend & (node_rest != 0)
+    if fused:
+        # remainder = unprocessed leaf bits + remaining node slots
+        rest = (hits_leaf & LEAF_MASK) | (node_rest << 24)
+    else:
+        rest = node_rest << 24      # leaf bits drained before any descent
+    push = descend & (rest != 0)
     for key, saved in (("phits", rest), ("pchim", chim),
                        ("pbleaf", bleaf)):
         plane = st[key]
@@ -408,10 +429,9 @@ def _step(unified, L, C, any_hit, st):
         st[key] = jnp.where(push[:, None], pushed, based)
     sp = sp + push.astype(jnp.int32)
 
-    # decode + slab the child row for descending lanes (no extra gather —
-    # `row` already holds it; leaf lanes' rows are garbage as node data
-    # but fully masked out by `descend`)
-    c_hits, c_chim, c_bleaf = _decode_rows_to_group(row, ro, rd,
+    # decode + slab the child row for descending lanes (fused: from the
+    # second gather; unfused: `row` already holds it)
+    c_hits, c_chim, c_bleaf = _decode_rows_to_group(nrow, ro, rd,
                                                     inv_rd, t_best)
     hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
     chim = jnp.where(descend, c_chim, chim)
@@ -430,7 +450,8 @@ _ITER_CAP = 65536   # safety bound; reference caps at 1000 iters/ray
                     # (IntersectionKernels.compute:155 `while(i++ < 1000)`)
 
 
-def _run_stage(unified, L, C, any_hit, st, target: int):
+def _run_stage(unified, L, C, any_hit, st, target: int,
+               fused: bool = False):
     """Iterate until <= `target` lanes remain active (0 = run to done)."""
     def cond(c):
         s, it = c
@@ -439,26 +460,27 @@ def _run_stage(unified, L, C, any_hit, st, target: int):
 
     def body(c):
         s, it = c
-        return _step(unified, L, C, any_hit, s), it + 1
+        return _step(unified, L, C, any_hit, s, fused=fused), it + 1
 
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st
 
 
 def _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
-              max_stack: int, root=0):
+              max_stack: int, root=0, fused: bool = False):
     """Single-stage traversal (full batch lock-step until every ray done)."""
     L, C = leaf_rows.shape[0], nodes.shape[0]
     assert C < (1 << 24) and L < (1 << 24), \
         "chim/bleaf pack base indices into 24 bits"
     unified = _pack_table(nodes, leaf_rows)
     st = _init_state(unified, ro, rd, t_max, root, max_stack)
-    st = _run_stage(unified, L, C, any_hit, st, 0)
+    st = _run_stage(unified, L, C, any_hit, st, 0, fused=fused)
     return Hit(t=st["t"], tri=st["tri"], u=st["u"], v=st["v"])
 
 
 def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
-                      max_stack: int, root=0, stages: int = 8):
+                      max_stack: int, root=0, stages: int = 8,
+                      fused: bool = False):
     """Occupancy-cascade traversal (see module docstring)."""
     R = ro.shape[0]
     L, C = leaf_rows.shape[0], nodes.shape[0]
@@ -470,7 +492,8 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
     for _ in range(stages):
         if size % 2 or size // 2 < 512:
             break
-        st = _run_stage(unified, L, C, any_hit, st, size // 2)
+        st = _run_stage(unified, L, C, any_hit, st, size // 2,
+                        fused=fused)
         act = _active(st)
         # active lanes first (stable, so retired rows keep relative order)
         perm = jnp.argsort(jnp.where(act, 0, 1), stable=True)
@@ -480,7 +503,7 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
                                                    "u", "v")))
         st = {k: a[keep] for k, a in st.items()}
         size = half
-    st = _run_stage(unified, L, C, any_hit, st, 0)
+    st = _run_stage(unified, L, C, any_hit, st, 0, fused=fused)
     retired.append(tuple(st[k] for k in ("orig", "t", "tri", "u", "v")))
 
     orig, t, tri, u, v = (jnp.concatenate(cols) for cols in zip(*retired))
@@ -497,7 +520,7 @@ _CHUNK_RAYS = 65536
 
 
 def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
-              cascade):
+              cascade, fused: bool = False):
     R = ro.shape[0]
     if cascade and R > _CHUNK_RAYS and R % _CHUNK_RAYS == 0:
         n = R // _CHUNK_RAYS
@@ -506,7 +529,7 @@ def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
         def chunk(args):
             o, d, tm = args
             return _traverse_cascade(nodes, leaf_rows, o, d, tm, any_hit,
-                                     max_stack)
+                                     max_stack, fused=fused)
 
         hit = jax.lax.map(chunk, (ro.reshape(n, _CHUNK_RAYS, 3),
                                   rd.reshape(n, _CHUNK_RAYS, 3),
@@ -515,21 +538,156 @@ def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
                    u=hit.u.reshape(R), v=hit.v.reshape(R))
     if cascade and R >= _CASCADE_MIN_RAYS:
         return _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit,
-                                 max_stack)
-    return _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack)
+                                 max_stack, fused=fused)
+    return _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
+                     fused=fused)
 
 
-@partial(jax.jit, static_argnames=("max_stack", "cascade"))
+@partial(jax.jit, static_argnames=("max_stack", "cascade", "fused"))
 def closest_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
                           max_stack: int = MAX_STACK,
-                          cascade: bool = True) -> Hit:
+                          cascade: bool = True,
+                          fused: bool = False) -> Hit:
     return _dispatch(nodes, leaf_rows, ro, rd, t_max, False, max_stack,
-                     cascade)
+                     cascade, fused=fused)
 
 
-@partial(jax.jit, static_argnames=("max_stack", "cascade"))
+@partial(jax.jit, static_argnames=("max_stack", "cascade", "fused"))
 def any_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
-                      max_stack: int = MAX_STACK, cascade: bool = True):
+                      max_stack: int = MAX_STACK, cascade: bool = True,
+                      fused: bool = False):
     hit = _dispatch(nodes, leaf_rows, ro, rd, t_max, True, max_stack,
-                    cascade)
+                    cascade, fused=fused)
     return hit.tri >= 0
+
+
+# ---------------------------------------------------------------------------
+# transmittance traversal: shadow rays through cutout-alpha / stained glass
+# (reference triangle_intersect_shadow, CommonData.cginc:593-634: any-hit
+# that accumulates glass tint throughput and stops at opaque surfaces)
+# ---------------------------------------------------------------------------
+
+def _step_transmit(unified, tint, L, C, st):
+    """Like the any-hit _step, but every accepted triangle multiplies the
+    per-lane RGB throughput by its shadow tint (tint[T,3]: 0 = opaque,
+    (1-alpha) + alpha*spec_trans*base_color otherwise) and traversal
+    continues — t_best is NOT shortened (every surface on the segment
+    must be visited once). Lanes retire when throughput ~ 0."""
+    ro, rd, inv_rd = st["ro"], st["rd"], st["inv"]
+    hits, chim, bleaf, sp = st["hits"], st["chim"], st["bleaf"], st["sp"]
+    t_max = st["t"]
+    tpr, tpg, tpb = st["tpr"], st["tpg"], st["tpb"]
+    R = ro.shape[0]
+
+    pop = (hits == 0) & (sp > 0)
+    hits = jnp.where(pop, st["phits"][:, 0], hits)
+    chim = jnp.where(pop, st["pchim"][:, 0], chim)
+    bleaf = jnp.where(pop, st["pbleaf"][:, 0], bleaf)
+    sp = sp - pop.astype(jnp.int32)
+
+    leaf_bits = hits & LEAF_MASK
+    node_bits = hits >> 24
+    active = hits != 0
+    leaf_lane = active & (leaf_bits != 0)
+    descend = active & ~leaf_lane
+
+    lsb = leaf_bits & (~leaf_bits + U32(1))
+    leafmask = bleaf >> 24
+    lrank = jax.lax.population_count(leafmask & (lsb - U32(1))
+                                     ).astype(jnp.int32)
+    lrow = jnp.clip((bleaf & PTR_MASK).astype(jnp.int32) + lrank, 0, L - 1)
+
+    lsb_n = node_bits & (~node_bits + U32(1))
+    slot = jax.lax.population_count(lsb_n - U32(1)).astype(jnp.int32)
+    node_rest = node_bits & ~lsb_n
+    imask = chim >> 24
+    below = imask & ((U32(1) << slot.astype(U32)) - U32(1))
+    rank = jax.lax.population_count(below).astype(jnp.int32)
+    child = jnp.clip((chim & PTR_MASK).astype(jnp.int32) + rank, 0, C - 1)
+
+    row_idx = jnp.where(leaf_lane, C + lrow, jnp.where(descend, child, 0))
+    row = unified[row_idx]
+
+    tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
+    tcol = lambda k: tripf[:, k]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    T = tint.shape[0]
+    for j in range(3):
+        b = 9 * j
+        p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
+        e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
+        e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
+        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
+        pvx = rdy * e2z - rdz * e2y
+        pvy = rdz * e2x - rdx * e2z
+        pvz = rdx * e2y - rdy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+        th = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok = (leaf_lane & (tri_id >= 0) & (u >= 0) & (v >= 0)
+              & (u + v <= 1) & (th > 1e-4) & (th < t_max)
+              & (jnp.abs(det) > 1e-12))
+        trow = tint[jnp.clip(tri_id, 0, T - 1)]
+        tpr = jnp.where(ok, tpr * trow[:, 0], tpr)
+        tpg = jnp.where(ok, tpg * trow[:, 1], tpg)
+        tpb = jnp.where(ok, tpb * trow[:, 2], tpb)
+    hits_leaf = hits & ~lsb
+
+    rest = node_rest << 24
+    push = descend & (node_rest != 0)
+    for key, saved in (("phits", rest), ("pchim", chim),
+                       ("pbleaf", bleaf)):
+        plane = st[key]
+        based = jnp.where(pop[:, None], _shift_pop(plane), plane)
+        pushed = _shift_push(based, saved.astype(plane.dtype))
+        st[key] = jnp.where(push[:, None], pushed, based)
+    sp = sp + push.astype(jnp.int32)
+
+    c_hits, c_chim, c_bleaf = _decode_rows_to_group(row, ro, rd,
+                                                    inv_rd, t_max)
+    hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
+    chim = jnp.where(descend, c_chim, chim)
+    bleaf = jnp.where(descend, c_bleaf, bleaf)
+
+    opaque = jnp.maximum(jnp.maximum(tpr, tpg), tpb) < 1e-3
+    hits = jnp.where(opaque, U32(0), hits)
+    sp = jnp.where(opaque, 0, sp)
+
+    return dict(st, hits=hits, chim=chim, bleaf=bleaf, sp=sp,
+                tpr=tpr, tpg=tpg, tpb=tpb)
+
+
+@partial(jax.jit, static_argnames=("max_stack",))
+def transmit_wavefront(nodes, leaf_rows, tint, ro, rd, t_max,
+                       max_stack: int = MAX_STACK):
+    """Shadow transmittance [R,3] along each segment: product of the
+    per-triangle shadow tints of every surface crossed before t_max
+    (1 = unoccluded, 0 = fully blocked). tint: [T,3] from
+    scene compile (mesh.py shadow_tint_table)."""
+    L, C = leaf_rows.shape[0], nodes.shape[0]
+    unified = _pack_table(nodes, leaf_rows)
+    st = _init_state(unified, ro, rd, t_max, 0, max_stack)
+    R = ro.shape[0]
+    st = dict(st, tpr=jnp.ones((R,), jnp.float32),
+              tpg=jnp.ones((R,), jnp.float32),
+              tpb=jnp.ones((R,), jnp.float32))
+
+    def cond(c):
+        s, it = c
+        return jnp.any(_active(s)) & (it < _ITER_CAP)
+
+    def body(c):
+        s, it = c
+        return _step_transmit(unified, tint, L, C, s), it + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    tp = jnp.stack([st["tpr"], st["tpg"], st["tpb"]], axis=-1)
+    return jnp.where(jnp.maximum(jnp.maximum(st["tpr"], st["tpg"]),
+                                 st["tpb"])[:, None] < 1e-3, 0.0, tp)

@@ -148,3 +148,20 @@ def brute_force_closest(p0, e1, e2, ro, rd, t_max) -> Hit:
                 u[i], v[i])
     t, tri, u, v = jax.vmap(per_ray)(ro, rd)
     return Hit(t=t, tri=tri, u=u, v=v)
+
+
+def transmit_brute(p0, e1, e2, tint, ro, rd, t_max):
+    """O(R*T) shadow transmittance oracle: product of the shadow tints of
+    EVERY triangle crossed on the segment (reference
+    triangle_intersect_shadow semantics, CommonData.cginc:593-634).
+    tint: [T,3]; returns [R,3]."""
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), ro.shape[:1])
+
+    def per_ray(o, d, tm):
+        h, t, _, _ = ray_tri(o[None, :], d[None, :], p0, e1, e2, tm)
+        crossed = h & (t < tm)
+        f = jnp.where(crossed[:, None], tint, 1.0)
+        return jnp.exp(jnp.sum(jnp.log(jnp.maximum(f, 1e-30)), axis=0))
+
+    tp = jax.vmap(per_ray)(ro, rd, t_max)
+    return jnp.where(jnp.max(tp, axis=-1, keepdims=True) < 1e-3, 0.0, tp)

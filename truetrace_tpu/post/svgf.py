@@ -93,18 +93,35 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
                  normal: jnp.ndarray, depth: jnp.ndarray,
                  state: SVGFState, n_atrous: int = 5,
                  motion: Optional[jnp.ndarray] = None,
-                 alpha_map: Optional[jnp.ndarray] = None):
+                 alpha_map: Optional[jnp.ndarray] = None,
+                 emissive: Optional[jnp.ndarray] = None):
     """One frame of SVGF. Returns (denoised [H,W,3], new_state).
 
     noisy: raw per-frame radiance; albedo/normal/depth: primary G-buffer
     (integrator stats). motion: [H,W,2] pixel offsets (None = static).
     alpha_map: optional per-pixel temporal blend override (ASVGF gradients
-    drive this — post/asvgf.py)."""
+    drive this — post/asvgf.py). emissive: noise-free directly-visible
+    radiance (stats["emitted0"]) — passed through UNfiltered; filtering
+    it would duplicate light-source energy into neighbors."""
+    if emissive is not None:
+        noisy = jnp.maximum(noisy - emissive, 0.0)
     # demodulate albedo so the filter works on irradiance. The floor is
     # 0.05 (not 1e-3): near-black albedo would amplify residual radiance
     # (specular on dark surfaces) ~1000x into single-pixel speckles; the
     # re-modulation below uses the same floor so the round trip is exact
     demod = noisy / jnp.maximum(albedo, 0.05)
+    # RCRS clamp on the filter INPUT (reference runs FireFlyPass around
+    # its filters): the normalized bilateral a-trous otherwise DUPLICATES
+    # single-pixel spike energy into every neighbor that accepts it,
+    # inflating the mean ~3x whenever history resets (measured)
+    nmax = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = _shift(demod, dy, dx)
+            nmax = n if nmax is None else jnp.maximum(nmax, n)
+    demod = jnp.minimum(demod, nmax * 3.0 + 1e-3)
     lum = luminance(demod)
 
     # ---- temporal reprojection + validity (normal/depth similarity gate,
@@ -171,6 +188,8 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
             new_hist_color = color_f
 
     out = color_f * jnp.maximum(albedo, 0.05)
+    if emissive is not None:
+        out = out + emissive
     new_state = SVGFState(color=new_hist_color, moments=moments_t,
                           hist_len=hist_len, normal=normal, depth=depth)
     return out, new_state

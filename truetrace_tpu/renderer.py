@@ -100,12 +100,9 @@ class Renderer:
             accum=Accumulator.create(h, w),
             sample=jnp.int32(0),
             svgf=SVGFState.create(h, w)
-            if self.cfg.denoiser == "svgf"
-            or (self.cfg.use_restir and self.cfg.denoiser == "asvgf")
-            else None,
+            if self.cfg.denoiser == "svgf" else None,
             asvgf=ASVGFState.create(h, w)
-            if self.cfg.denoiser == "asvgf" and not self.cfg.use_restir
-            else None,
+            if self.cfg.denoiser == "asvgf" else None,
             recur=ReCurState.create(h, w) if self.cfg.denoiser == "recur"
             else None,
             restir=ReSTIRState.create(h, w) if self.cfg.use_restir
@@ -190,6 +187,7 @@ class Renderer:
         albedo = st["albedo"].reshape(h, w, 3)
         normal = st["normal"].reshape(h, w, 3)
         depth = st["depth"].reshape(h, w)
+        emissive = st["emitted0"].reshape(h, w, 3)
         gradient = None
 
         # ---- ReSTIR GI: reservoir-shaded indirect replaces the traced
@@ -210,33 +208,29 @@ class Renderer:
         # ---- denoise
         if cfg.denoiser == "svgf":
             frame, svgf = svgf_denoise(frame, albedo, normal, depth,
-                                       state.svgf, motion=motion)
-            new["svgf"] = svgf
-        elif cfg.denoiser == "asvgf" and cfg.use_restir:
-            # ReSTIR-ASVGF (reference ReSTIRASVGF.compute): validation
-            # gradients from the GI pass drive the history clamp — no
-            # replay stratum, no extra trace
-            from truetrace_tpu.post.asvgf import ALPHA_MAX, ALPHA_MIN
-            gd = gradient
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    gd = jnp.maximum(gd, jnp.roll(
-                        jnp.roll(gradient, dy, 0), dx, 1))
-            alpha_map = jnp.clip(ALPHA_MIN + gd * (ALPHA_MAX - ALPHA_MIN),
-                                 ALPHA_MIN, ALPHA_MAX)
-            frame, svgf = svgf_denoise(frame, albedo, normal, depth,
-                                       state.svgf, alpha_map=alpha_map,
-                                       motion=motion)
+                                       state.svgf, motion=motion,
+                                       emissive=emissive)
             new["svgf"] = svgf
         elif cfg.denoiser == "asvgf":
-            from truetrace_tpu.post.asvgf import asvgf_gradient
-            alpha_map, _, cur_lum, s2 = asvgf_gradient(
-                self.scene, self.cam, rcfg, state.asvgf, sid, rad)
-            frame, svgf_state = svgf_denoise(
-                frame, albedo, normal, depth, state.asvgf.svgf,
-                alpha_map=alpha_map, motion=motion)
+            from truetrace_tpu.post.asvgf import (asvgf_filter,
+                                                  asvgf_gradient,
+                                                  gradient_alpha)
+            ast = state.asvgf
+            if cfg.use_restir:
+                # ReSTIR-ASVGF (reference ReSTIRASVGF.compute): the GI
+                # temporal-validation gradients drive the history clamp —
+                # no replay stratum, no extra trace
+                alpha_map, _ = gradient_alpha(gradient, h, w)
+                cur_lum, s2 = ast.prev_lum, jnp.asarray(sid, jnp.uint32)
+            else:
+                alpha_map, _, cur_lum, s2 = asvgf_gradient(
+                    self.scene, self.cam, rcfg, ast, sid, rad)
+            frame, svgf_state, lf_hist, lf_len = asvgf_filter(
+                frame, albedo, normal, depth, ast, alpha_map,
+                motion=motion, emissive=emissive)
             new["asvgf"] = ASVGFState(svgf=svgf_state, prev_lum=cur_lum,
-                                      prev_sid=s2)
+                                      prev_sid=s2, lf_hist=lf_hist,
+                                      lf_len=lf_len)
         elif cfg.denoiser == "recur":
             frame, recur = recur_denoise(frame, albedo, normal, depth,
                                          state.recur, motion=motion)

@@ -375,6 +375,8 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         inst_em_rank=jnp.asarray(em_rank),
         inst_light_offset=jnp.asarray(light_offset),
     )
+    from truetrace_tpu.scene.mesh import shadow_tint_table
+    scene = scene.replace(tri_shadow=shadow_tint_table(mats, tri["mat"]))
     return scene, isc
 
 

@@ -215,6 +215,12 @@ class Scene:
     # kernel_heightmap), optional
     terrain: Optional[Any] = None
 
+    # per-tri shadow transmittance tint [T,3] — built only when the scene
+    # has cutout-alpha or spec_trans materials (None = all-opaque fast
+    # path). Reference: stained-glass / cutout any-hit transport,
+    # CommonData.cginc:593-634
+    tri_shadow: Optional[Any] = None
+
     # instanced-scene extras (scene/instances.py compile_scene_instanced;
     # consumed by the traversal="tlas" path — reference two-level
     # kernel_trace, IntersectionKernels.compute:155-252, instance table

@@ -162,6 +162,20 @@ def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
                      tri_to_light=jnp.asarray(inv))
 
 
+def shadow_tint_table(mats: List[HostMaterial], tri_mat: np.ndarray):
+    """Per-tri shadow transmittance tint, or None when every material is
+    opaque. tint = (1-alpha) + alpha * spec_trans * base_color: cutouts
+    pass uncolored, glass passes its albedo tint, opaque blocks
+    (reference CommonData.cginc:593-634)."""
+    alpha = np.array([m.alpha for m in mats], np.float32)
+    st = np.array([m.spec_trans for m in mats], np.float32)
+    if np.all(alpha >= 1.0) and np.all(st <= 0.0):
+        return None
+    bc = np.array([m.base_color for m in mats], np.float32)
+    tint = (1.0 - alpha)[:, None] + (alpha * st)[:, None] * bc
+    return jnp.asarray(np.clip(tint[tri_mat], 0.0, 1.0))
+
+
 def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   env: Optional[EnvMap] = None,
                   lights: Optional[AnalyticLights] = None,
@@ -277,4 +291,5 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lbvh_nodes=lbvh_nodes, lbvh_info=lbvh_info, lbvh_prim=lbvh_prim,
         lbvh_trail=lbvh_trail, lbvh_pairs=lbvh_pairs,
         lbvh_pair_children=lbvh_pair_children, terrain=terrain,
+        tri_shadow=shadow_tint_table(mats, tris["mat"]),
     )
