@@ -90,3 +90,68 @@ def test_e2e_cache_energy_close():
     assert abs(m_cache - m_ref) / m_ref < 0.3, (m_cache, m_ref)
     # the cache actually got hits
     assert float(cache.count.max()) >= 8.0
+
+
+def test_probing_survives_contention():
+    """Bounded linear probing (reference CommonData.cginc:1661-1700): at
+    ~50% occupancy with colliding inserts, queries must still find most
+    entries — the single-slot hash dropped colliding inserts for up to
+    MAX_AGE frames."""
+    import jax.numpy as jnp
+    import numpy as np
+    from truetrace_tpu.integrate.radiance_cache import (
+        RadianceCache, cache_update, cache_query, cache_cell,
+        CONFIDENT_COUNT)
+
+    rng = np.random.default_rng(11)
+    C = 1 << 12
+    cache = RadianceCache.create(C)
+    N = C // 2                      # 50% occupancy target
+    pos = jnp.asarray(rng.uniform(-50, 50, (N, 3)).astype(np.float32))
+    nrm = np.zeros((N, 3), np.float32)
+    nrm[:, 1] = 1.0
+    nrm = jnp.asarray(nrm)
+    cam = jnp.zeros((3,), jnp.float32)
+    h, key = cache_cell(pos, nrm, cam)
+    rad = jnp.ones((N, 3), jnp.float32)
+    w = jnp.full((N,), float(CONFIDENT_COUNT), jnp.float32)
+    for _ in range(2):              # two frames of inserts
+        cache = cache_update(cache, h, key, rad, w)
+    _, hit = cache_query(cache, pos, nrm, cam)
+    rate = float(np.asarray(hit).mean())
+    # birthday-collision losses at 50% occupancy with 4 probes are small
+    assert rate > 0.9, rate
+
+
+def test_cache_hit_rate_metric():
+    """stats['cache_hit_rate'] reports the per-frame query hit fraction
+    (RenderMetrics cache_hits input)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from truetrace_tpu.integrate.pathtrace import RenderConfig
+    from truetrace_tpu.integrate.radiance_cache import (
+        RadianceCache, cache_resolve, render_sample_cached)
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    import truetrace_tpu.integrate.radiance_cache as rc
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats)
+    cfg = RenderConfig(width=16, height=16, bounces=3, cache_capture=True,
+                       cache_query_bounce=1)
+    cache = RadianceCache.create(1 << 14)
+    pixel = jnp.arange(16 * 16, dtype=jnp.uint32)
+    rates = []
+    old_cell = rc.BASE_CELL
+    rc.BASE_CELL = 0.2        # coarse cells: cache warms within a few frames
+    try:
+        for s in range(16):
+            _, st, cache = render_sample_cached(scene, cam, cfg, cache,
+                                                pixel, s)
+            cache = cache_resolve(cache, decay=1.0)
+            rates.append(float(st["cache_hit_rate"]))
+    finally:
+        rc.BASE_CELL = old_cell
+    assert rates[0] == 0.0                 # empty cache: no hits
+    assert rates[-1] > 0.3, rates          # warm cache: real hit rate

@@ -412,7 +412,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          g_albedo, g_normal, g_depth, cone_w, cone_s,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
          c_hash, c_key, c_prefix, c_tp, c_live,
-         n_trace, n_shadow, r_emit0) = state
+         n_trace, n_shadow, r_emit0, n_cq, n_ch) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         hit, inst = _trace(scene, ro, rd, cfg, alive=alive)
         # detached estimator: traversal is not differentiated — this also
@@ -611,7 +611,10 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             # terminate paths with a confident cache entry (reference:
             # radiance-cache hooks RayTracingShader.compute:303-326)
             q_rad, q_hit = cache_query(cache, p, sn, cam_pos)
-            q_take = hit_ok & q_hit & (b >= cfg.cache_query_bounce)
+            q_able = hit_ok & (b >= cfg.cache_query_bounce)
+            q_take = q_able & q_hit
+            n_cq = n_cq + jnp.sum(q_able.astype(jnp.float32))
+            n_ch = n_ch + jnp.sum(q_take.astype(jnp.float32))
             radiance = radiance + jnp.where(q_take[..., None],
                                             throughput * q_rad, 0.0)
             alive = alive & ~q_take
@@ -815,18 +818,21 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 g_albedo, g_normal, g_depth, cone_w, cone_s,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
                 c_hash, c_key, c_prefix, c_tp, c_live,
-                n_trace, n_shadow, r_emit0)
+                n_trace, n_shadow, r_emit0, n_cq, n_ch)
 
+    n_cq = jnp.zeros((), jnp.float32)   # cache queries attempted
+    n_ch = jnp.zeros((), jnp.float32)   # cache hits taken
     state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
              g_albedo, g_normal, g_depth, cone_w, cone_s,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
              c_hash, c_key, c_prefix, c_tp, c_live,
-             n_trace, n_shadow, r_emit0)
+             n_trace, n_shadow, r_emit0, n_cq, n_ch)
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     state = jax.lax.fori_loop(0, cfg.bounces, body, state)
     stats = {"n_trace": state[25], "n_shadow": state[26],
              "albedo": state[7], "normal": state[8], "depth": state[9],
-             "emitted0": state[27]}
+             "emitted0": state[27],
+             "cache_hit_rate": state[29] / jnp.maximum(state[28], 1.0)}
     if cfg.restir_capture:
         stats.update({
             "direct": state[12], "x2": state[13], "n2": state[14],

@@ -10,9 +10,12 @@ RayTracingMaster.cs:794-806). TPU redesign:
   applied with one `scatter-add` (the reference's InterlockedAdd loop
   becomes a single XLA scatter); collisions on the same slot accumulate,
   which is exactly the desired behavior.
-* Fixed-capacity open hash: a slot stores a 32-bit key tag; a mismatched
-  insert simply overwrites when the resident entry is stale (age-based),
-  mirroring the reference's frame-counter eviction.
+* Fixed-capacity open hash with BOUNDED LINEAR PROBING (N_PROBES slots,
+  like the reference's bounded insert loop, CommonData.cginc:1661-1700):
+  an insert takes the first probe that matches its key, else the first
+  empty, else the first stale resident (age-based eviction); only when
+  all probes hold fresh foreign entries is the insert dropped. This
+  bounds thrash at realistic occupancy (tested under contention).
 * Voxel level grows with distance from the camera (log2 scaling), so the
   cache is perspectively allocated like SHaRC.
 
@@ -81,17 +84,38 @@ def cache_cell(pos, normal, cam_pos):
     return h, key
 
 
+N_PROBES = 4
+
+
+def _probe_slots(capacity: int, slot_hash):
+    base = (slot_hash % U32(capacity)).astype(jnp.int32)
+    return jnp.stack([(base + k) % capacity for k in range(N_PROBES)],
+                     axis=-1)                        # [N,P]
+
+
 def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
     """Batch insert: radiance [N,3], weight [N] (0 = skip). One scatter-add
-    per array; slots whose resident key differs are claimed when stale."""
+    per array. Probe order per record: key match > empty > stale resident
+    > drop (bounded linear probing)."""
     C = cache.capacity
-    slot = (slot_hash % U32(C)).astype(jnp.int32)
+    slots = _probe_slots(C, slot_hash)               # [N,P]
     live = weight > 0.0
 
-    resident = cache.key[slot]
-    match = (resident == key) | (resident == 0)
-    stale = cache.age[slot] > MAX_AGE
-    claim = live & (~match) & stale
+    resident = cache.key[slots]                      # [N,P]
+    is_match = resident == key[:, None]
+    is_empty = resident == 0
+    is_stale = cache.age[slots] > MAX_AGE
+    # priority score: matches (0) before empties (1) before stale (2);
+    # ties broken by probe order
+    score = (jnp.where(is_match, 0, jnp.where(is_empty, 1,
+             jnp.where(is_stale, 2, 3))) * N_PROBES
+             + jnp.arange(N_PROBES, dtype=jnp.int32)[None, :])
+    pick = jnp.argmin(score, axis=-1)                # [N]
+    n = jnp.arange(slots.shape[0])
+    slot = slots[n, pick]
+    picked_score = score[n, pick] // N_PROBES
+    match = picked_score == 0
+    claim = live & (picked_score > 0) & (picked_score < 3)
     use = live & (match | claim)
 
     # claimed slots are reset before accumulation
@@ -111,10 +135,16 @@ def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
 
 
 def cache_query(cache: RadianceCache, pos, normal, cam_pos):
-    """Returns (radiance [N,3], hit [N])."""
+    """Returns (radiance [N,3], hit [N]). Probes the same N_PROBES slots
+    as cache_update and takes the first confident key match."""
     h, key = cache_cell(pos, normal, cam_pos)
-    slot = (h % U32(cache.capacity)).astype(jnp.int32)
-    ok = (cache.key[slot] == key) & (cache.count[slot] >= CONFIDENT_COUNT)
+    slots = _probe_slots(cache.capacity, h)          # [N,P]
+    ok_p = (cache.key[slots] == key[..., None]) \
+        & (cache.count[slots] >= CONFIDENT_COUNT)    # [N,P]
+    pick = jnp.argmax(ok_p, axis=-1)
+    n = jnp.arange(slots.shape[0])
+    slot = slots[n, pick]
+    ok = ok_p[n, pick]
     rad = cache.rad[slot] / jnp.maximum(cache.count[slot], 1e-6)[..., None]
     return jnp.where(ok[..., None], rad, 0.0), ok
 

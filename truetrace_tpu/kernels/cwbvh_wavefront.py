@@ -352,7 +352,7 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
     # node: extract nearest slot, child id = base + rank-in-imask
     # (any-hit rays don't care about order: plain lowest-set-bit saves
     # the octant permute)
-    if any_hit:
+    if any_hit is True:
         lsb_n = node_bits & (~node_bits + U32(1))
         slot = jax.lax.population_count(lsb_n - U32(1)).astype(jnp.int32)
         node_rest = node_bits & ~lsb_n
@@ -406,7 +406,7 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
               & (jnp.abs(det) > 1e-12))
         t_best = jnp.where(ok, th, t_best)
         tri_best = jnp.where(ok, tri_id, tri_best)
-        if not any_hit:          # shadow rays don't report u/v
+        if any_hit is not True:  # shadow-only dispatches skip u/v
             u_best = jnp.where(ok, u, u_best)
             v_best = jnp.where(ok, v, v_best)
     hits_leaf = hits & ~lsb
@@ -437,7 +437,12 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
     chim = jnp.where(descend, c_chim, chim)
     bleaf = jnp.where(descend, c_bleaf, bleaf)
 
-    if any_hit:
+    if any_hit == "mixed":
+        # per-lane any-hit flag: flagged lanes stop at their first hit
+        found = st["anyf"] & (tri_best >= 0)
+        hits = jnp.where(found, U32(0), hits)
+        sp = jnp.where(found, 0, sp)
+    elif any_hit:
         found = tri_best >= 0
         hits = jnp.where(found, U32(0), hits)
         sp = jnp.where(found, 0, sp)
@@ -550,6 +555,62 @@ def closest_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
                           fused: bool = False) -> Hit:
     return _dispatch(nodes, leaf_rows, ro, rd, t_max, False, max_stack,
                      cascade, fused=fused)
+
+
+@partial(jax.jit, static_argnames=("max_stack", "cascade"))
+def mixed_hit_wavefront(nodes, leaf_rows, ro, rd, t_max, is_any,
+                        max_stack: int = MAX_STACK,
+                        cascade: bool = True) -> Hit:
+    """Heterogeneous dispatch: one batch mixing closest-hit and any-hit
+    rays (is_any [R] bool — flagged lanes early-out at their first hit).
+    The occupancy cascade then compacts fast-retiring shadow rays against
+    slow closest-hit stragglers, which is how the integrator merges its
+    per-bounce shadow flush with the next bounce's trace (the reference
+    instead runs separate kernel_trace / kernel_shadow indirect
+    dispatches, RayTracingMaster.cs:968,996)."""
+    R = ro.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    def run(o, d, tm, af):
+        L, C = leaf_rows.shape[0], nodes.shape[0]
+        unified = _pack_table(nodes, leaf_rows)
+        st = _init_state(unified, o, d, tm, 0, max_stack)
+        st = dict(st, anyf=af)
+        n = o.shape[0]
+        if cascade and n >= _CASCADE_MIN_RAYS:
+            retired = []
+            size = n
+            for _ in range(8):
+                if size % 2 or size // 2 < 512:
+                    break
+                st = _run_stage(unified, L, C, "mixed", st, size // 2)
+                act = _active(st)
+                perm = jnp.argsort(jnp.where(act, 0, 1), stable=True)
+                half = size // 2
+                keep, drop = perm[:half], perm[half:]
+                retired.append(tuple(st[k][drop] for k in
+                                     ("orig", "t", "tri", "u", "v")))
+                st = {k: a[keep] for k, a in st.items()}
+                size = half
+            st = _run_stage(unified, L, C, "mixed", st, 0)
+            retired.append(tuple(st[k] for k in
+                                 ("orig", "t", "tri", "u", "v")))
+            orig, t, tri, u, v = (jnp.concatenate(cols)
+                                  for cols in zip(*retired))
+            inv = jnp.argsort(orig)
+            return Hit(t=t[inv], tri=tri[inv], u=u[inv], v=v[inv])
+        st = _run_stage(unified, L, C, "mixed", st, 0)
+        return Hit(t=st["t"], tri=st["tri"], u=st["u"], v=st["v"])
+
+    if R > _CHUNK_RAYS and R % _CHUNK_RAYS == 0:
+        n = R // _CHUNK_RAYS
+        hit = jax.lax.map(
+            lambda a: run(*a),
+            (ro.reshape(n, _CHUNK_RAYS, 3), rd.reshape(n, _CHUNK_RAYS, 3),
+             t_max.reshape(n, _CHUNK_RAYS), is_any.reshape(n, _CHUNK_RAYS)))
+        return Hit(t=hit.t.reshape(R), tri=hit.tri.reshape(R),
+                   u=hit.u.reshape(R), v=hit.v.reshape(R))
+    return run(ro, rd, t_max, is_any)
 
 
 @partial(jax.jit, static_argnames=("max_stack", "cascade", "fused"))
