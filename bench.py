@@ -1,11 +1,16 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
 Metric (BASELINE.json north star): CWBVH traversal throughput in Mrays/s on
-a Sponza-class scene (~250k-tri procedural atrium, same workload character
-as Crytek Sponza — the reference's geometry isn't shipped in its repo).
-The ray mix mirrors a 4-bounce path trace: 50% coherent primary rays, 50%
-incoherent bounce rays (random surface origins, cosine-hemisphere
-directions), half of the incoherent set traced as any-hit shadow rays.
+a Sponza-class scene. Default scene: the sponza_like asset (~270k tris, a
+two-story arcaded atrium with curtains/banners/pots, scene/sponza_like.py)
+generated to disk as OBJ+MTL+textures and ingested through the REAL asset
+pipeline (obj_loader.load_obj_scene -> atlas -> compile_scene) — the
+reference repo ships only Sponza's .mtl/textures, not the mesh, and this
+environment has no network egress, so the classic scene itself cannot be
+downloaded. BENCH_SCENE=atrium restores the round-1 procedural atrium for
+continuity. The ray mix mirrors a 4-bounce path trace: 1/3 coherent
+primary rays, 1/3 incoherent bounce rays (cosine-hemisphere from primary
+hits), 1/3 any-hit shadow rays.
 
 `vs_baseline` is the ratio against BASELINE_MRAYS — the first number
 recorded on this hardware (TPU v5e, round 1; see BASELINE.md). The
@@ -29,7 +34,7 @@ BASELINE_MRAYS = 0.344
 
 
 def main():
-    detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
+    scene_kind = os.environ.get("BENCH_SCENE", "sponza_like")
     # 64k-ray batches: measured sweet spot on v5e with the leaf-row table
     # + occupancy cascade (see BASELINE.md)
     R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
@@ -38,12 +43,22 @@ def main():
     from truetrace_tpu.core import rng
     from truetrace_tpu.kernels.cwbvh_wavefront import (
         any_hit_wavefront, closest_hit_wavefront)
-    from truetrace_tpu.scene import atrium
     from truetrace_tpu.scene.ir import camera_rays
     from truetrace_tpu.scene.mesh import compile_scene
 
-    meshes, mats, cam, env = atrium.make(detail=detail)
-    scene = compile_scene(meshes, mats, env=env, with_cwbvh=True)
+    if scene_kind == "atrium":
+        from truetrace_tpu.scene import atrium
+        detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
+        meshes, mats, cam, env = atrium.make(detail=detail)
+        scene = compile_scene(meshes, mats, env=env, with_cwbvh=True)
+    else:
+        from truetrace_tpu.scene import sponza_like
+        detail = float(os.environ.get("BENCH_DETAIL", "5"))
+        meshes, mats, atlas, rects, level_y, cam, env = \
+            sponza_like.make(detail)
+        scene = compile_scene(meshes, mats, env=env, atlas=atlas,
+                              atlas_rects=rects, atlas_level_y=level_y,
+                              with_cwbvh=True)
     n_tris = scene.n_tris()
 
     # primary rays

@@ -1,9 +1,12 @@
 """Drive the library surface end-to-end: compile a scene, render the
 Cornell box through the public API, and print observable image stats."""
-import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+# env-var platform selection is unreliable under the axon sitecustomize —
+# force CPU via config before first device use (CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -100,3 +100,44 @@ def test_importance_prefers_near_bright():
         jnp.asarray(pairs2), jnp.asarray(lb.prim), p, n, u)
     frac_near = float((np.asarray(light) == 0).mean())
     assert frac_near > 0.95
+
+
+@pytest.mark.parametrize("max_cut", [8, 64])
+def test_cut_sample_pdf_consistency(max_cut):
+    """Cut sampler: histogram == sampled pmf == pdf_cut eval; pmfs sum
+    to 1 — with a cut smaller than the light count (residual descent
+    exercised) and one that covers every leaf (dense-only)."""
+    from truetrace_tpu.build.lightbvh import build_cut
+    from truetrace_tpu.kernels.lighttree import (light_tree_pdf_cut,
+                                                 sample_light_tree_cut)
+    tris, power = _scene(24, seed=5)
+    lb = build_light_bvh(tris, np.arange(24), power)
+    pairs_np, _ = build_pairs(lb.nodes, lb.info)
+    cut = build_cut(lb, max_cut=max_cut)
+    assert cut.bounds.shape[0] <= max_cut
+    pairs = jnp.asarray(pairs_np)
+    prim = jnp.asarray(lb.prim)
+    trail = jnp.asarray(lb.trail)
+    cb = jnp.asarray(cut.bounds)
+    cl = jnp.asarray(cut.link)
+    col = jnp.asarray(cut.of_light)
+    csk = jnp.asarray(cut.skip)
+
+    R = 100_000
+    p = jnp.broadcast_to(jnp.asarray([0.0, -2.0, 0.0]), (R, 3))
+    n = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (R, 3))
+    u = jnp.asarray(np.random.default_rng(6).uniform(size=R)
+                    .astype(np.float32))
+    light, pmf, _ = sample_light_tree_cut(pairs, prim, cb, cl, p, n, u)
+    light = np.asarray(light)
+    pmf = np.asarray(pmf)
+
+    L = 24
+    pl = jnp.broadcast_to(jnp.asarray([0.0, -2.0, 0.0]), (L, 3))
+    nl = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (L, 3))
+    pmf_eval = np.asarray(light_tree_pdf_cut(
+        pairs, trail, cb, cl, col, csk, jnp.arange(L), pl, nl))
+    assert abs(pmf_eval.sum() - 1.0) < 1e-4, pmf_eval.sum()
+    np.testing.assert_allclose(pmf, pmf_eval[light], rtol=2e-4)
+    hist = np.bincount(light, minlength=L) / R
+    assert np.abs(hist - pmf_eval).max() < 0.01

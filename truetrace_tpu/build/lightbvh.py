@@ -194,6 +194,80 @@ def build_pairs(nodes: np.ndarray, info: np.ndarray):
     return pairs, pair_children
 
 
+@dataclass
+class LightCut:
+    """Fixed cut of the light BVH for dense (gather-free) selection.
+
+    The descent's per-step dependent gathers are latency-bound on TPU
+    (~190 ms/frame measured at 512^2 x 4 bounces); evaluating importance
+    DENSELY over a small cut of subtree roots is throughput-bound VPU work
+    instead. Sampling = categorical over the cut + a residual descent
+    below the chosen cut node (zero steps when the tree has <= max_cut
+    lights, as the cut is then the leaf set).
+    """
+    bounds: np.ndarray     # [M,12] f32 node bounds rows of the cut
+    link: np.ndarray       # [M] i32: pair-row index (internal) or
+                           #          -(first_prim+1) (leaf)
+    node_ids: np.ndarray   # [M] i32 node id of each cut entry (refit
+                           #          refresh: bounds = nodes[node_ids])
+    of_light: np.ndarray   # [L] i32 light index -> cut entry of ancestor
+    skip: np.ndarray       # [L] i32 trail bits consumed above the cut
+                           #          (= cut-entry depth, root = 0)
+
+
+def build_cut(bvh: LightBVH, max_cut: int = 128) -> LightCut:
+    """BFS the light BVH to the shallowest frontier with <= max_cut
+    entries; leaves encountered above it join the cut directly."""
+    nodes, info, prim = bvh.nodes, bvh.info, bvh.prim
+    L = prim.shape[0]
+    internal = info[:, 1] < 0
+    node_to_pair = np.full(nodes.shape[0], -1, np.int32)
+    ids = np.nonzero(internal)[0]
+    node_to_pair[ids] = np.arange(ids.size, dtype=np.int32)
+
+    frontier = [(0, 0)]                    # (node_id, depth)
+    while True:
+        nxt = []
+        grew = False
+        for nid, d in frontier:
+            if internal[nid]:
+                nxt.append((info[nid, 0], d + 1))
+                nxt.append((-info[nid, 1], d + 1))
+                grew = True
+            else:
+                nxt.append((nid, d))
+        if not grew or len(nxt) > max_cut:
+            break
+        frontier = nxt
+
+    M = len(frontier)
+    bounds = np.zeros((M, 12), np.float32)
+    link = np.zeros((M,), np.int32)
+    node_ids = np.zeros((M,), np.int32)
+    of_light = np.zeros((L,), np.int32)
+    skip = np.zeros((L,), np.int32)
+
+    def leaves_under(nid):
+        if internal[nid]:
+            yield from leaves_under(info[nid, 0])
+            yield from leaves_under(-info[nid, 1])
+        else:
+            first, count = info[nid]
+            for s in range(first, first + count):
+                yield prim[s]
+
+    for k, (nid, d) in enumerate(frontier):
+        bounds[k] = nodes[nid]
+        node_ids[k] = nid
+        link[k] = (node_to_pair[nid] if internal[nid]
+                   else -(info[nid, 0] + 1))
+        for li in leaves_under(nid):
+            of_light[li] = k
+            skip[li] = d
+    return LightCut(bounds=bounds, link=link, node_ids=node_ids,
+                    of_light=of_light, skip=skip)
+
+
 def build_pairs_jax(nodes, pairs_old, pair_children):
     """Device-side pair-row refresh after refit_light_bvh: keep the links
     (topology fixed), regather the two children's 12-float rows."""

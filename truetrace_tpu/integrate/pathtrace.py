@@ -129,9 +129,16 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
     lt = scene.light_tris
     L = lt.tri_index.shape[0]
     if use_tree:
-        from truetrace_tpu.kernels.lighttree import sample_light_tree
-        idx, pmf, _ = sample_light_tree(
-            scene.lbvh_pairs, scene.lbvh_prim, p, sn, u_sel)
+        if scene.lcut_bounds is not None:
+            # dense cut selection (gather-free) + residual descent
+            from truetrace_tpu.kernels.lighttree import sample_light_tree_cut
+            idx, pmf, _ = sample_light_tree_cut(
+                scene.lbvh_pairs, scene.lbvh_prim, scene.lcut_bounds,
+                scene.lcut_link, p, sn, u_sel)
+        else:
+            from truetrace_tpu.kernels.lighttree import sample_light_tree
+            idx, pmf, _ = sample_light_tree(
+                scene.lbvh_pairs, scene.lbvh_prim, p, sn, u_sel)
         idx = jnp.clip(idx, 0, L - 1)
     else:
         idx = jnp.clip(jnp.searchsorted(lt.cdf, u_sel), 0, L - 1)
@@ -185,9 +192,16 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
                             off + rank, -1)
         li = jnp.where(inst >= 0, li_inst, li)
     if use_tree:
-        from truetrace_tpu.kernels.lighttree import light_tree_pdf
-        pmf = light_tree_pdf(scene.lbvh_pairs, scene.lbvh_trail,
-                             li, p, sn_prev)
+        if scene.lcut_bounds is not None:
+            from truetrace_tpu.kernels.lighttree import light_tree_pdf_cut
+            pmf = light_tree_pdf_cut(
+                scene.lbvh_pairs, scene.lbvh_trail, scene.lcut_bounds,
+                scene.lcut_link, scene.lcut_of_light, scene.lcut_skip,
+                li, p, sn_prev)
+        else:
+            from truetrace_tpu.kernels.lighttree import light_tree_pdf
+            pmf = light_tree_pdf(scene.lbvh_pairs, scene.lbvh_trail,
+                                 li, p, sn_prev)
     else:
         pmf = scene.light_tris.pmf[jnp.maximum(li, 0)]
     # area from the light's own (world-space) triangle row — for
@@ -318,15 +332,24 @@ def render_sample_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
-                             pixel, sample_id, cache=None, di_sample=None):
+                             pixel, sample_id, cache=None, di_sample=None,
+                             jitter=None):
     """Like render_sample_pixels but also returns ray-count stats
     {n_trace, n_shadow} (the Mrays/s accounting the benchmarks use —
     counterpart of the reference's BufferSizes counters,
-    IntersectionKernels.compute:79)."""
+    IntersectionKernels.compute:79).
+
+    jitter: optional [2] subpixel offset shared by every pixel this frame
+    (the TAAU jitter sequence, post/pipeline.py taau_jitter); None = the
+    default per-pixel random AA jitter."""
     W, H = cfg.width, cfg.height
     pixel = pixel.astype(jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
-    jit2 = rng.uniform2(pixel, sid, jnp.uint32(rng.DIM_CAMERA_JITTER))
+    if jitter is None:
+        jit2 = rng.uniform2(pixel, sid, jnp.uint32(rng.DIM_CAMERA_JITTER))
+    else:
+        jit2 = jnp.broadcast_to(jnp.asarray(jitter, jnp.float32),
+                                (pixel.shape[0], 2))
     # thin-lens DoF: lens sample drawn from a dedicated dimension; when
     # cam.aperture == 0 the offset vanishes (pinhole)
     lens_u = rng.uniform2(pixel, sid + jnp.uint32(0x9E3779B9),

@@ -163,7 +163,7 @@ def cache_resolve(cache: RadianceCache, decay: float = 0.98,
 
 
 def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
-                         sample_id, di_sample=None):
+                         sample_id, di_sample=None, jitter=None):
     """One wavefront sample that both queries and feeds the cache.
 
     Returns (radiance [R,3], stats, new_cache). cfg must have
@@ -171,7 +171,8 @@ def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
     from truetrace_tpu.integrate.pathtrace import render_sample_with_stats
     radiance, st = render_sample_with_stats(scene, cam, cfg, pixel,
                                             sample_id, cache=cache,
-                                            di_sample=di_sample)
+                                            di_sample=di_sample,
+                                            jitter=jitter)
     # per-bounce outgoing-radiance estimates: everything accumulated after
     # entering the vertex, un-scaled by the path throughput at entry
     total = radiance[:, None, :]                      # [R,1,3]

@@ -238,27 +238,96 @@ def firefly_clamp(img, factor: float = 3.0):
 
 
 # ---------------------------------------------------------------------------
-# temporal upscaling (reference TAAU.compute): render at a lower internal
-# resolution with per-frame subpixel jitter, accumulate into the full-res
-# history with neighborhood clamping.
+# temporal upscaling (reference TAAU.compute, 355 LoC): render at a lower
+# internal resolution with a per-frame subpixel jitter sequence; every
+# frame scatters its jittered samples into the full-res grid with a
+# Gaussian reconstruction kernel, blended against motion-reprojected,
+# neighborhood-clamped history. Over the jitter sequence the history
+# converges to the full-res image.
 # ---------------------------------------------------------------------------
 
-def taau_upscale(low, history, scale: int = 2, alpha: float = 0.15):
-    """low: [h,w,3] current low-res frame; history: [h*scale, w*scale, 3]
-    or None. Returns (upscaled [H,W,3], new_history)."""
-    H = low.shape[0] * scale
-    W = low.shape[1] * scale
-    up = jnp.repeat(jnp.repeat(low, scale, axis=0), scale, axis=1)[:H, :W]
+def halton(i, base: int):
+    """i-th Halton sample in [0,1) for integer i (host or traced)."""
+    f = 1.0
+    r = jnp.zeros((), jnp.float32)
+    ii = jnp.asarray(i, jnp.int32)
+    for _ in range(10):          # 2^10 / 3^10 frames of unique offsets
+        f = f / base
+        r = r + f * (ii % base).astype(jnp.float32)
+        ii = ii // base
+    return r
+
+
+def taau_jitter(frame_id):
+    """Per-frame subpixel offset in [0,1)^2 (Halton 2,3 — the classic TAA
+    jitter sequence)."""
+    return jnp.stack([halton(frame_id, 2), halton(frame_id, 3)])
+
+
+def taau_upscale(low, history, scale: int = 2, alpha: float = 0.2,
+                 jitter=None, motion=None):
+    """Temporal upscaling of a jittered low-res frame.
+
+    low: [h,w,3] current frame, rendered with its per-pixel sample at
+    subpixel offset `jitter` (from taau_jitter; None = pixel center).
+    history: [h*scale, w*scale, 3] or None. motion: [h,w,2] LOW-res pixel
+    motion (post/motion.py) or None. Returns (out [H,W,3], new_history).
+
+    Reconstruction: each high-res pixel gathers the 3x3 nearest low-res
+    samples, weighted by a Gaussian of the distance between the high-res
+    pixel center and each sample's TRUE (jittered) position — so the
+    jitter sequence steers samples across the high-res grid instead of
+    being box-replicated (the nearest-neighbor repeat the reference's
+    TAAU replaces)."""
+    h, w = low.shape[:2]
+    H, W = h * scale, w * scale
+    if jitter is None:
+        jitter = jnp.asarray([0.5, 0.5], jnp.float32)
+    jx, jy = jitter[0], jitter[1]
+    # high-res pixel centers in low-res pixel coordinates
+    yy = (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5) / scale  # [H,1]
+    xx = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5) / scale  # [1,W]
+    cy = jnp.floor(yy - 0.5).astype(jnp.int32)                      # [H,1]
+    cx = jnp.floor(xx - 0.5).astype(jnp.int32)                      # [1,W]
+    # narrow kernel: the nearest jittered sample dominates its high-res
+    # pixel, so the accumulated history converges to the true high-res
+    # signal instead of a box blur (sigma in low-res pixel units)
+    sigma2 = 2.0 * (0.22 ** 2)
+    acc = jnp.zeros((H, W, 3), jnp.float32)
+    wsum = jnp.zeros((H, W), jnp.float32)
+    wmax = jnp.zeros((H, W), jnp.float32)
+    nmin = jnp.full((H, W, 3), jnp.inf, jnp.float32)
+    nmax_ = jnp.full((H, W, 3), -jnp.inf, jnp.float32)
+    for dy in (0, 1, -1):
+        for dx in (0, 1, -1):
+            sy = jnp.clip(cy + dy, 0, h - 1)                        # [H,1]
+            sx = jnp.clip(cx + dx, 0, w - 1)                        # [1,W]
+            c = low[sy[:, 0]][:, sx[0, :]]                          # [H,W,3]
+            py = sy.astype(jnp.float32) + jy                        # [H,1]
+            px = sx.astype(jnp.float32) + jx                        # [1,W]
+            d2 = (py - yy) ** 2 + (px - xx) ** 2                    # [H,W]
+            wgt = jnp.exp(-d2 / sigma2)
+            acc = acc + c * wgt[..., None]
+            wsum = wsum + wgt
+            wmax = jnp.maximum(wmax, wgt)
+            nmin = jnp.minimum(nmin, c)
+            nmax_ = jnp.maximum(nmax_, c)
+    cur = acc / jnp.maximum(wsum, 1e-8)[..., None]
     if history is None:
-        return up, up
-    # clamp history to the upsampled neighborhood
-    nmin = up
-    nmax = up
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            n = jnp.roll(jnp.roll(up, dy, axis=0), dx, axis=1)
-            nmin = jnp.minimum(nmin, n)
-            nmax = jnp.maximum(nmax, n)
-    hist = jnp.clip(history, nmin, nmax)
-    out = hist + alpha * (up - hist)
+        return cur, cur
+    if motion is not None:
+        # reproject history: low-res motion scaled to high-res pixels
+        mo = jnp.repeat(jnp.repeat(motion, scale, axis=0), scale,
+                        axis=1)[:H, :W] * scale
+        ys = jnp.clip((jnp.arange(H, dtype=jnp.float32)[:, None]
+                       - mo[..., 1]).astype(jnp.int32), 0, H - 1)
+        xs = jnp.clip((jnp.arange(W, dtype=jnp.float32)[None, :]
+                       - mo[..., 0]).astype(jnp.int32), 0, W - 1)
+        inb = (jnp.abs(mo[..., 0]) < W) & (jnp.abs(mo[..., 1]) < H)
+        history = jnp.where(inb[..., None], history[ys, xs], cur)
+    hist = jnp.clip(history, nmin, nmax_)
+    # confidence-weighted blend: pixels whose nearest sample landed close
+    # to their center take more of the new frame
+    a = alpha * (0.1 + 0.9 * wmax)
+    out = hist + a[..., None] * (cur - hist)
     return out, out

@@ -48,11 +48,22 @@ class RendererConfig:
     use_radiance_cache: bool = False
     cache_query_bounce: int = 2
     cache_capacity: int = 1 << 20
+    # temporal upscaling (reference TAAU.compute): render at
+    # width/upscale x height/upscale with a per-frame Halton subpixel
+    # jitter and reconstruct the full-res frame temporally
+    # (post/pipeline.py taau_upscale). 1 = off.
+    upscale: int = 1
     post: PostConfig = field(default_factory=PostConfig)
 
+    @property
+    def internal_size(self):
+        s = max(self.upscale, 1)
+        return self.height // s, self.width // s
+
     def render_config(self) -> RenderConfig:
+        ih, iw = self.internal_size
         return RenderConfig(
-            width=self.width, height=self.height, bounces=self.bounces,
+            width=iw, height=ih, bounces=self.bounces,
             bsdf=self.bsdf, traversal=self.traversal,
             light_sampling=self.light_sampling, use_nee=self.use_nee,
             restir_capture=self.use_restir,
@@ -72,6 +83,7 @@ class FrameState(NamedTuple):
     cache: Optional[RadianceCache]
     taa_history: Optional[jnp.ndarray]
     prev_cam: Optional[Camera] = None   # last frame's camera (motion vecs)
+    taau_history: Optional[jnp.ndarray] = None  # full-res TAAU history
 
 
 class Renderer:
@@ -95,19 +107,22 @@ class Renderer:
                         self.neural_params, f.read())
 
     def init_state(self) -> FrameState:
+        # trace-resolution states live at the internal (pre-upscale) size;
+        # accumulation / TAA / TAAU history at the output size
         h, w = self.cfg.height, self.cfg.width
+        ih, iw = self.cfg.internal_size
         return FrameState(
             accum=Accumulator.create(h, w),
             sample=jnp.int32(0),
-            svgf=SVGFState.create(h, w)
+            svgf=SVGFState.create(ih, iw)
             if self.cfg.denoiser == "svgf" else None,
-            asvgf=ASVGFState.create(h, w)
+            asvgf=ASVGFState.create(ih, iw)
             if self.cfg.denoiser == "asvgf" else None,
-            recur=ReCurState.create(h, w) if self.cfg.denoiser == "recur"
+            recur=ReCurState.create(ih, iw) if self.cfg.denoiser == "recur"
             else None,
-            restir=ReSTIRState.create(h, w) if self.cfg.use_restir
+            restir=ReSTIRState.create(ih, iw) if self.cfg.use_restir
             else None,
-            restir_di=ReSTIRDIState.create(h, w)
+            restir_di=ReSTIRDIState.create(ih, iw)
             if self.cfg.use_restir_di else None,
             cache=RadianceCache.create(self.cfg.cache_capacity)
             if self.cfg.use_radiance_cache else None,
@@ -147,10 +162,16 @@ class Renderer:
                 # temporal denoiser/reservoir states survive and are
                 # motion-reprojected instead
                 state = state._replace(accum=state.accum.reset())
-        h, w = cfg.height, cfg.width
+        h, w = cfg.internal_size      # trace resolution (upscale>1: low)
         sid = state.sample
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
         new = {}
+        # TAAU jitter sequence: one Halton subpixel offset per frame so
+        # the temporal upscaler knows where this frame's samples landed
+        jitter = None
+        if cfg.upscale > 1:
+            from truetrace_tpu.post.pipeline import taau_jitter
+            jitter = taau_jitter(sid)
 
         # ---- ReSTIR DI prepass: primary G-buffer feeds reservoir reuse;
         # the chosen light samples drive the main trace's bounce-0 NEE
@@ -177,12 +198,13 @@ class Renderer:
         if cfg.use_radiance_cache:
             rad, st, cache = render_sample_cached(
                 self.scene, self.cam, rcfg, state.cache, pixel, sid,
-                di_sample=di_sample)
+                di_sample=di_sample, jitter=jitter)
             new["cache"] = cache_resolve(cache)
         else:
             rad, st = render_sample_with_stats(self.scene, self.cam, rcfg,
                                                pixel, sid,
-                                               di_sample=di_sample)
+                                               di_sample=di_sample,
+                                               jitter=jitter)
         frame = rad.reshape(h, w, 3)
         albedo = st["albedo"].reshape(h, w, 3)
         normal = st["normal"].reshape(h, w, 3)
@@ -246,6 +268,20 @@ class Renderer:
         if cfg.post.firefly > 0.0:
             from truetrace_tpu.post.pipeline import firefly_clamp
             frame = firefly_clamp(frame, cfg.post.firefly)
+
+        if cfg.upscale > 1:
+            # temporal upscaling to the output resolution (reference
+            # TAAU.compute); the full-res history is its own state
+            from truetrace_tpu.post.pipeline import taau_upscale
+            frame, taau_hist = taau_upscale(
+                frame, state.taau_history, scale=cfg.upscale,
+                jitter=jitter, motion=motion)
+            new["taau_history"] = taau_hist
+            if motion is not None:
+                # post-chain TAA runs at output res: scale the vectors
+                s = cfg.upscale
+                motion = jnp.repeat(jnp.repeat(motion, s, axis=0), s,
+                                    axis=1)[:cfg.height, :cfg.width] * s
 
         accum = state.accum.add(frame)
         display, taa_hist = postprocess(accum.image, cfg.post,

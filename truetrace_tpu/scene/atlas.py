@@ -51,8 +51,10 @@ class AtlasBuilder:
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
         if img.shape[-1] == 1:
-            img = np.repeat(img, 4, axis=-1)
-        elif img.shape[-1] == 3:
+            # grayscale -> RGB + OPAQUE alpha (alpha channel feeds the
+            # cutout path; replicating the value would punch holes)
+            img = np.repeat(img, 3, axis=-1)
+        if img.shape[-1] == 3:
             img = np.concatenate(
                 [img, np.ones_like(img[..., :1])], axis=-1)
         self.images.append(_pad_align(img.astype(np.float32)))

@@ -323,8 +323,10 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
     lbvh_trail = jnp.zeros((0,), jnp.uint32)
     lbvh_pairs = jnp.zeros((0, 26), jnp.float32)
     lbvh_pair_children = jnp.zeros((0, 2), jnp.int32)
+    lcut = {}
     if with_light_bvh and A > 1:
-        from truetrace_tpu.build.lightbvh import build_light_bvh, build_pairs
+        from truetrace_tpu.build.lightbvh import (build_cut, build_light_bvh,
+                                                  build_pairs)
         lb = build_light_bvh(tri, np.asarray(light_tris.tri_index),
                              np.asarray(light_tris.power))
         pairs, pair_children = build_pairs(lb.nodes, lb.info)
@@ -334,6 +336,12 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         lbvh_trail = jnp.asarray(lb.trail)
         lbvh_pairs = jnp.asarray(pairs)
         lbvh_pair_children = jnp.asarray(pair_children)
+        cut = build_cut(lb)
+        lcut = dict(lcut_bounds=jnp.asarray(cut.bounds),
+                    lcut_link=jnp.asarray(cut.link),
+                    lcut_node_ids=jnp.asarray(cut.node_ids),
+                    lcut_of_light=jnp.asarray(cut.of_light),
+                    lcut_skip=jnp.asarray(cut.skip))
 
     w2l44 = np.zeros((isc.n_instances, 4, 4), np.float32)
     l2w44 = np.zeros((isc.n_instances, 4, 4), np.float32)
@@ -374,6 +382,7 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         inst_rows=isc.inst_rows, inst_l2w=isc.l2w,
         inst_em_rank=jnp.asarray(em_rank),
         inst_light_offset=jnp.asarray(light_offset),
+        **lcut,
     )
     from truetrace_tpu.scene.mesh import shadow_tint_table
     scene = scene.replace(tri_shadow=shadow_tint_table(mats, tri["mat"]))
@@ -465,19 +474,26 @@ def update_instance_transforms(scene, isc: InstancedScene, mats,
             pmf=jnp.asarray(pmf),
             tri_to_light=scene.light_tris.tri_to_light)
         if scene.lbvh_pairs.shape[0] > 0:
-            from truetrace_tpu.build.lightbvh import (build_light_bvh,
+            from truetrace_tpu.build.lightbvh import (build_cut,
+                                                      build_light_bvh,
                                                       build_pairs)
             tri_full = {k: np.asarray(upd.get(c, getattr(scene, c)))
                         for k, c in (("p0", "tri_p0"), ("e1", "tri_e1"),
                                      ("e2", "tri_e2"))}
             lb = build_light_bvh(tri_full, ids, power)
             pairs, pair_children = build_pairs(lb.nodes, lb.info)
+            cut = build_cut(lb)
             upd.update(lbvh_nodes=jnp.asarray(lb.nodes),
                        lbvh_info=jnp.asarray(lb.info),
                        lbvh_prim=jnp.asarray(lb.prim),
                        lbvh_trail=jnp.asarray(lb.trail),
                        lbvh_pairs=jnp.asarray(pairs),
-                       lbvh_pair_children=jnp.asarray(pair_children))
+                       lbvh_pair_children=jnp.asarray(pair_children),
+                       lcut_bounds=jnp.asarray(cut.bounds),
+                       lcut_link=jnp.asarray(cut.link),
+                       lcut_node_ids=jnp.asarray(cut.node_ids),
+                       lcut_of_light=jnp.asarray(cut.of_light),
+                       lcut_skip=jnp.asarray(cut.skip))
     return scene.replace(**upd), new_isc
 
 

@@ -232,6 +232,16 @@ class Scene:
     inst_em_rank: Optional[Any] = None       # [T] emissive rank in source
     inst_light_offset: Optional[Any] = None  # [I] light-list base (-1)
 
+    # light-BVH cut (build/lightbvh.py build_cut): dense gather-free light
+    # selection over a <=128-entry cut of subtree roots; the per-step
+    # dependent-gather descent only runs BELOW the cut. None when the
+    # scene has no light BVH.
+    lcut_bounds: Optional[Any] = None        # [M,12] f32 cut node rows
+    lcut_link: Optional[Any] = None          # [M] i32 pair idx / -(prim+1)
+    lcut_node_ids: Optional[Any] = None      # [M] i32 (refit refresh)
+    lcut_of_light: Optional[Any] = None      # [L] i32 light -> cut entry
+    lcut_skip: Optional[Any] = None          # [L] i32 trail bits above cut
+
     def n_tris(self) -> int:
         return self.tri_p0.shape[0]
 

@@ -255,8 +255,10 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     lbvh_trail = jnp.zeros((0,), jnp.uint32)
     lbvh_pairs = jnp.zeros((0, 26), jnp.float32)
     lbvh_pair_children = jnp.zeros((0, 2), jnp.int32)
+    lcut = {}
     if with_light_bvh and int(light_tris.tri_index.shape[0]) > 1:
-        from truetrace_tpu.build.lightbvh import build_light_bvh, build_pairs
+        from truetrace_tpu.build.lightbvh import (build_cut, build_light_bvh,
+                                                  build_pairs)
         lb = build_light_bvh(
             tris, np.asarray(light_tris.tri_index),
             np.asarray(light_tris.power))
@@ -267,6 +269,12 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lbvh_trail = jnp.asarray(lb.trail)
         lbvh_pairs = jnp.asarray(pairs)
         lbvh_pair_children = jnp.asarray(pair_children)
+        cut = build_cut(lb)
+        lcut = dict(lcut_bounds=jnp.asarray(cut.bounds),
+                    lcut_link=jnp.asarray(cut.link),
+                    lcut_node_ids=jnp.asarray(cut.node_ids),
+                    lcut_of_light=jnp.asarray(cut.of_light),
+                    lcut_skip=jnp.asarray(cut.skip))
 
     return Scene(
         tri_p0=jnp.asarray(tris["p0"]), tri_e1=jnp.asarray(tris["e1"]),
@@ -292,4 +300,5 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lbvh_trail=lbvh_trail, lbvh_pairs=lbvh_pairs,
         lbvh_pair_children=lbvh_pair_children, terrain=terrain,
         tri_shadow=shadow_tint_table(mats, tris["mat"]),
+        **lcut,
     )

@@ -17,12 +17,20 @@ import numpy as np
 from truetrace_tpu.scene.mesh import HostMaterial, HostMesh
 
 
-def _parse_mtl(path: str) -> Dict[str, HostMaterial]:
+def _parse_mtl(path: str, tex_paths: Optional[Dict[str, dict]] = None
+               ) -> Dict[str, HostMaterial]:
+    """Parse an MTL file. When `tex_paths` is given, texture map statements
+    (map_Kd/map_Ke/map_bump|norm/map_Pr) are recorded there as
+    {mat_name: {field: abspath}} for load_obj_scene to atlas."""
     mats: Dict[str, HostMaterial] = {}
     if not os.path.exists(path):
         return mats
+    base = os.path.dirname(os.path.abspath(path))
     cur: Optional[dict] = None
     name = None
+    _TEXKEYS = {"map_kd": "tex_albedo", "map_ke": "tex_emission",
+                "map_bump": "tex_normal", "bump": "tex_normal",
+                "norm": "tex_normal", "map_pr": "tex_rough_metal"}
     with open(path, "r", errors="replace") as f:
         for line in f:
             t = line.strip().split()
@@ -35,6 +43,11 @@ def _parse_mtl(path: str) -> Dict[str, HostMaterial]:
                 cur = {}
             elif cur is None:
                 continue
+            elif t[0].lower() in _TEXKEYS and len(t) >= 2:
+                if tex_paths is not None:
+                    # last token is the filename (skip -options)
+                    tex_paths.setdefault(name, {})[_TEXKEYS[t[0].lower()]] \
+                        = os.path.join(base, t[-1])
             elif t[0] == "Kd" and len(t) >= 4:
                 cur["base_color"] = tuple(float(x) for x in t[1:4])
             elif t[0] == "Ke" and len(t) >= 4:
@@ -59,7 +72,8 @@ def _parse_mtl(path: str) -> Dict[str, HostMaterial]:
     return mats
 
 
-def load_obj(path: str, scale: float = 1.0
+def load_obj(path: str, scale: float = 1.0, _tex_paths=None,
+             _return_names: bool = False
              ) -> Tuple[List[HostMesh], List[HostMaterial]]:
     """Load an OBJ (+ its MTL) into a single HostMesh with per-face
     material ids. Supports v/vn/vt, usemtl groups, tri + quad + n-gon faces
@@ -146,7 +160,8 @@ def load_obj(path: str, scale: float = 1.0
     base = os.path.dirname(os.path.abspath(path))
     mtl: Dict[str, HostMaterial] = {}
     for mf in mtl_files:
-        mtl.update(_parse_mtl(os.path.join(base, mf)))
+        mtl.update(_parse_mtl(os.path.join(base, mf),
+                              tex_paths=_tex_paths))
     mats = [mtl.get(nm, HostMaterial()) for nm in mat_names] \
         or [HostMaterial()]
     mat_id = np.asarray(tri_m, np.int32) if tri_m else \
@@ -157,4 +172,51 @@ def load_obj(path: str, scale: float = 1.0
                     normals=None if normals is None
                     else normals.astype(np.float32),
                     uvs=None if uvs is None else uvs.astype(np.float32))
+    if _return_names:
+        return [mesh], mats, (mat_names or [""])
     return [mesh], mats
+
+
+def load_obj_scene(path: str, scale: float = 1.0, max_tex: int = 1024):
+    """load_obj + texture ingestion: decodes every map_Kd/map_Ke/map_bump/
+    map_Pr referenced by the MTL (PIL), packs them into one atlas
+    (scene/atlas.py shelf packer + mips), and assigns the tex_* ids on the
+    materials — the standalone equivalent of the reference's
+    CreateAtlas texture aggregation (AssetManager.cs:396-533).
+
+    Returns (meshes, mats, atlas, rects, level_y); the atlas triple is
+    (None, None, None) when no textures resolve. Textures wider than
+    max_tex are halved until they fit."""
+    from dataclasses import replace
+
+    tex_paths: Dict[str, dict] = {}
+    meshes, mats, names = load_obj(path, scale, _tex_paths=tex_paths,
+                                   _return_names=True)
+    from truetrace_tpu.scene.atlas import AtlasBuilder
+    builder = AtlasBuilder()
+    cache: Dict[str, Optional[int]] = {}
+    out_mats: List[HostMaterial] = []
+    for nm, m in zip(names, mats):
+        fields = {}
+        for field, tp in tex_paths.get(nm, {}).items():
+            if tp not in cache:
+                tid = None
+                if os.path.exists(tp):
+                    try:
+                        from PIL import Image
+                        im = Image.open(tp).convert("RGBA")
+                        while max(im.size) > max_tex:
+                            im = im.resize((max(im.size[0] // 2, 1),
+                                            max(im.size[1] // 2, 1)))
+                        tid = builder.add(np.asarray(im, np.uint8))
+                    except Exception:
+                        tid = None
+                cache[tp] = tid
+            if cache[tp] is not None:
+                fields[field] = cache[tp]
+        out_mats.append(replace(m, **fields) if fields else m)
+    if builder.images:
+        atlas, rects, level_y = builder.build()
+    else:
+        atlas = rects = level_y = None
+    return meshes, out_mats, atlas, rects, level_y
