@@ -30,14 +30,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args):
-    """Run twice with hard syncs; return (seconds of 2nd run, result)."""
+def timed(fn, *args, n1: int = 1, n2: int = 3):
+    """Marginal-slope timing: run n1 then n2 iterations with hard syncs and
+    report (t(n2)-t(n1))/(n2-n1) — cancels the axon per-call dispatch
+    overhead (~30-60 ms) and the first-run program upload that inflate
+    single-shot numbers (CLAUDE.md 'micro-benchmarks lie on axon')."""
+    def sync(r):
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+
     r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
+    sync(r)                      # compile + upload
     t0 = time.perf_counter()
-    r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
-    return time.perf_counter() - t0, r
+    for _ in range(n1):
+        r = fn(*args)
+    sync(r)
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        r = fn(*args)
+    sync(r)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n2 - n1), r
 
 
 def main():
@@ -85,6 +97,16 @@ def main():
     t, _ = timed(fa, scene.cw_nodes, scene.cw_leaf_rows, ro, rd)
     out["trace_shadow_ms"] = t * 1e3
 
+    # 2b. lambert no-NEE: bounce loop dominated by the 4 traces (shading
+    # nearly free) — separates trace cost from Disney shading cost
+    cfg_lam = RenderConfig(width=W, height=H, bounces=args.bounces,
+                           bsdf="lambert", traversal="wavefront",
+                           use_nee=False)
+    f_lam = jax.jit(lambda s: render_sample_with_stats(
+        scene, cam, cfg_lam, pixel, s)[0])
+    t, _ = timed(f_lam, jnp.uint32(3))
+    out["pathtrace_lambert_noNEE_ms"] = t * 1e3
+
     # 3. full path trace, NEE off / on (difference = NEE cost incl. shadow)
     cfg_off = RenderConfig(width=W, height=H, bounces=args.bounces,
                            bsdf="disney", traversal="wavefront",
@@ -93,6 +115,8 @@ def main():
         scene, cam, cfg_off, pixel, s)[0])
     t, _ = timed(f_off, jnp.uint32(3))
     out["pathtrace_noNEE_ms"] = t * 1e3
+    out["disney_shading_ms"] = (out["pathtrace_noNEE_ms"]
+                                - out["pathtrace_lambert_noNEE_ms"])
 
     cfg_on = RenderConfig(width=W, height=H, bounces=args.bounces,
                           bsdf="disney", traversal="wavefront",
@@ -124,7 +148,7 @@ def main():
     print(f"\n{'pass':24s} {'ms':>10s}")
     for k in ("trace_primary_ms", "trace_shadow_ms", "pathtrace_noNEE_ms",
               "nee_ms", "pathtrace_full_ms", "svgf_ms", "post_ms"):
-        print(f"{k:24s} {out[k]:10.1f}")
+        print(f"{k:24s} {out[k]:10.1f}", flush=True)
     print(f"{'frame Mrays/s':24s} {out['frame_mrays']:10.2f}")
     print(json.dumps({k: round(v, 2) for k, v in out.items()}))
 

@@ -48,3 +48,74 @@ def test_bake_sky_env():
     assert img.max() > 100.0
     # upper hemisphere brighter than below-horizon
     assert img[:14].mean() > img[18:].mean()
+
+
+def test_multiscatter_lut():
+    """Psi_ms LUT: finite, non-negative, and actually adds energy —
+    reference multi-scatter orders (AtmosphereLUTGenerator.compute:404)."""
+    from truetrace_tpu.scene.atmosphere import (build_multiscatter,
+                                                sample_multiscatter)
+    t = build_transmittance()
+    ms = np.asarray(build_multiscatter(t))
+    assert ms.shape == (32, 32, 3)
+    assert np.isfinite(ms).all() and (ms >= 0).all()
+    # high sun yields more multiple scattering at ground level than a sun
+    # well below the horizon
+    lo = np.asarray(sample_multiscatter(jnp.asarray(ms),
+                                        jnp.full((1,), R_GROUND + 0.1),
+                                        jnp.asarray([-0.6])))
+    hi = np.asarray(sample_multiscatter(jnp.asarray(ms),
+                                        jnp.full((1,), R_GROUND + 0.1),
+                                        jnp.asarray([0.9])))
+    assert hi.sum() > lo.sum()
+
+
+def test_multiscatter_brightens_sky_and_fills_twilight():
+    from truetrace_tpu.scene.atmosphere import build_luts
+    luts = build_luts()
+    single = AtmosphereLUTs(transmittance=luts.transmittance)
+    dirs = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.3, 0.954]])
+    sun = jnp.asarray([0.0, 0.5, 0.866])
+    sun = sun / jnp.linalg.norm(sun)
+    L_ms = np.asarray(sky_radiance(luts, dirs, sun, ground_albedo=0.0))
+    L_ss = np.asarray(sky_radiance(single, dirs, sun, ground_albedo=0.0))
+    assert (L_ms > L_ss).all(), "multi-scatter must add energy everywhere"
+    # twilight: sun 5 deg below horizon -> single scattering nearly dead
+    # at the zenith, multi-scatter keeps the sky visibly lit
+    sun_lo = jnp.asarray([0.0, -0.087, 0.996])
+    zen = jnp.asarray([[0.0, 1.0, 0.0]])
+    ms = np.asarray(sky_radiance(luts, zen, sun_lo, ground_albedo=0.0))
+    ss = np.asarray(sky_radiance(single, zen, sun_lo, ground_albedo=0.0))
+    assert ms.sum() > 1.5 * ss.sum(), (ms.sum(), ss.sum())
+
+
+def test_irradiance_lut():
+    from truetrace_tpu.scene.atmosphere import (build_luts,
+                                                sample_irradiance)
+    luts = build_luts()
+    ir = np.asarray(luts.irradiance)
+    assert np.isfinite(ir).all() and (ir >= 0).all()
+    e = np.asarray(sample_irradiance(luts.irradiance,
+                                     jnp.asarray([-0.5, 0.05, 0.9])))
+    # monotone in sun elevation; nonzero a hair above the horizon
+    assert e[2].sum() > e[1].sum() > e[0].sum()
+    assert e[1].sum() > 0.0
+
+
+def test_local_sun_angle_used():
+    """The in-march sun angle must follow spherical geometry, not the
+    flat-sun approximation: for a near-horizon view ray toward a rising
+    sun, samples far along the ray see a HIGHER local sun -> more light
+    than the flat-sun version would give. We check the asymmetry between
+    looking toward vs away from a low sun at equal view elevation, which
+    vanishes (except for phase) under flat-sun + isotropic comparison."""
+    luts = AtmosphereLUTs(transmittance=build_transmittance())
+    sun = jnp.asarray([0.0, 0.035, 0.999])
+    sun = sun / jnp.linalg.norm(sun)
+    toward = jnp.asarray([[0.0, 0.02, 0.9998]])
+    away = jnp.asarray([[0.0, 0.02, -0.9998]])
+    Lt = np.asarray(sky_radiance(luts, toward, sun, ground_albedo=0.0))
+    La = np.asarray(sky_radiance(luts, away, sun, ground_albedo=0.0))
+    # toward the sun: local sun elevation rises along the ray (lit sooner,
+    # brighter even beyond the phase asymmetry) — require a LARGE margin
+    assert Lt.sum() > 3.0 * La.sum(), (Lt.sum(), La.sum())

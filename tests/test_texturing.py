@@ -102,3 +102,94 @@ def test_lod_increases_with_distance():
     # near view resolves checker blocks; far view lands on a high mip
     # whose average is flat 0.5 (modulated by lighting, so compare std)
     assert near.std() > 2.0 * far.std() + 1e-4, (near.std(), far.std())
+
+
+def test_hue_rotate_permutes_channels():
+    """120-degree hue rotation maps R->G->B->R (core/math.hue_rotate,
+    reference Unity_Hue_Degrees, RayTracingShader.compute:640)."""
+    from truetrace_tpu.core.math import hue_rotate
+    rgb = jnp.asarray([[0.8, 0.1, 0.3]], jnp.float32)
+    out0 = np.asarray(hue_rotate(rgb, jnp.zeros(1)))
+    np.testing.assert_allclose(out0, np.asarray(rgb), atol=1e-5)
+    out120 = np.asarray(hue_rotate(rgb, jnp.full((1,), 120.0)))
+    np.testing.assert_allclose(out120[0], [0.3, 0.8, 0.1], atol=1e-4)
+    out360 = np.asarray(hue_rotate(rgb, jnp.full((1,), 360.0)))
+    np.testing.assert_allclose(out360, np.asarray(rgb), atol=1e-4)
+
+
+def test_adjust_color_neutral_and_knobs():
+    from truetrace_tpu.core.math import adjust_color
+    rgb = jnp.asarray([[0.6, 0.2, 0.4]], jnp.float32)
+    one = jnp.ones((1,), jnp.float32)
+    zero = jnp.zeros((1,), jnp.float32)
+    black = jnp.zeros((1, 3), jnp.float32)
+    # neutral parameters = identity (in-gamut input)
+    out = np.asarray(adjust_color(rgb, zero, one, one, one, black, zero))
+    np.testing.assert_allclose(out, np.asarray(rgb), atol=1e-5)
+    # saturation 0 -> gray at the luminance
+    gray = np.asarray(adjust_color(rgb, zero, one, zero, one, black, zero))
+    assert np.ptp(gray[0]) < 1e-5
+    # blend_factor 1 -> flat blend color
+    red = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    out = np.asarray(adjust_color(rgb, zero, one, one, one, red, one))
+    np.testing.assert_allclose(out[0], [1, 0, 0], atol=1e-5)
+
+
+def test_texture_adjustments_in_render():
+    """saturation=0 on a textured material turns a colored checker
+    grayscale in the rendered albedo (reference kernel_shade adjustment
+    chain, RayTracingShader.compute:630-649)."""
+    from truetrace_tpu.integrate.pathtrace import (RenderConfig,
+                                                   render_sample_with_stats)
+    builder = AtlasBuilder()
+    tex = np.zeros((16, 16, 3), np.float32)
+    tex[..., 0] = 0.9
+    tex[..., 1] = 0.2
+    tex[..., 2] = 0.5
+    tid = builder.add(tex)
+    atlas, rects, level_y = builder.build()
+    cam = Camera.look_at(eye=(0, 0, 3), target=(0, 0, 0), fov_y_deg=40)
+    cfg = RenderConfig(width=8, height=8, bounces=1, bsdf="lambert")
+    pixel = jnp.arange(64, dtype=jnp.uint32)
+
+    def albedo(mat):
+        scene = compile_scene([_quad()], [mat],
+                              env=EnvMap.constant((1, 1, 1)), atlas=atlas,
+                              atlas_rects=rects, atlas_level_y=level_y)
+        _, st = render_sample_with_stats(scene, cam, cfg, pixel, 0)
+        return np.asarray(st["albedo"]).reshape(8, 8, 3)[4, 4]
+
+    a_plain = albedo(HostMaterial(base_color=(1, 1, 1), tex_albedo=tid))
+    np.testing.assert_allclose(a_plain, [0.9, 0.2, 0.5], atol=0.02)
+    a_gray = albedo(HostMaterial(base_color=(1, 1, 1), tex_albedo=tid,
+                                 saturation=0.0))
+    assert np.ptp(a_gray) < 0.02, a_gray
+    lum = 0.2126 * 0.9 + 0.7152 * 0.2 + 0.0722 * 0.5
+    np.testing.assert_allclose(a_gray.mean(), lum, atol=0.05)
+
+
+def test_roughness_metallic_remap():
+    """A degenerate remap range (c,c) pins the shading parameter at c —
+    the render must equal one whose material carries c directly
+    (reference smoothness remap, RayTracingShader.compute:654-662)."""
+    from truetrace_tpu.integrate.pathtrace import RenderConfig, render
+    cam = Camera.look_at(eye=(0, 0, 3), target=(0, 0, 0), fov_y_deg=40)
+    cfg = RenderConfig(width=8, height=8, bounces=2, bsdf="disney")
+
+    def img(mat):
+        scene = compile_scene([_quad()], [mat],
+                              env=EnvMap.constant((1, 1, 1)))
+        return np.asarray(render(scene, cam, cfg, spp=4))
+
+    base = dict(base_color=(0.8, 0.8, 0.8), metallic=1.0)
+    a = img(HostMaterial(roughness=0.1, rough_remap=(0.7, 0.7), **base))
+    b = img(HostMaterial(roughness=0.7, **base))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    c = img(HostMaterial(roughness=0.1, **base))
+    assert np.abs(a - c).max() > 1e-3   # remap actually changed the lobe
+
+    a = img(HostMaterial(roughness=0.4, metallic=0.0,
+                         metal_remap=(1.0, 1.0), base_color=(0.8, 0.6, 0.4)))
+    b = img(HostMaterial(roughness=0.4, metallic=1.0,
+                         base_color=(0.8, 0.6, 0.4)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -248,3 +248,35 @@ def finite_or_zero(x):
     """NaN/Inf guard mirroring the reference's ad-hoc guards
     (RayTracingShader.compute:727)."""
     return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def hue_rotate(rgb, degrees):
+    """Rotate RGB hue around the gray axis by `degrees` [..., per-lane].
+    Counterpart of the reference's Unity_Hue_Degrees in kernel_shade
+    (RayTracingShader.compute:640)."""
+    th = jnp.deg2rad(degrees)
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    one3 = (1.0 - c) / 3.0
+    rt3s = jnp.sqrt(jnp.float32(1.0 / 3.0)) * s
+    m00 = c + one3
+    m01 = one3 - rt3s
+    m02 = one3 + rt3s
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return jnp.stack([m00 * r + m01 * g + m02 * b,
+                      m02 * r + m00 * g + m01 * b,
+                      m01 * r + m02 * g + m00 * b], axis=-1)
+
+
+def adjust_color(rgb, hue_deg, brightness, saturation, contrast,
+                 blend_color, blend_factor):
+    """The reference's albedo adjustment chain (kernel_shade,
+    RayTracingShader.compute:630-649): hue -> brightness -> saturation ->
+    contrast -> saturate -> blend toward a flat color."""
+    c = hue_rotate(rgb, hue_deg)
+    c = c * brightness[..., None]
+    lum = luminance(c)[..., None]
+    c = lum + (c - lum) * saturation[..., None]
+    c = (c - 0.5) * contrast[..., None] + 0.5
+    c = jnp.clip(c, 0.0, 1.0)
+    return c + (blend_color - c) * blend_factor[..., None]

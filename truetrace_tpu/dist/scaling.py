@@ -33,6 +33,15 @@ def measure_scaling(scene, cam, cfg: RenderConfig, spp: int = 2,
     results = {}
     base = None
     ref_img = None
+
+    # true per-frame ray count (trace + shadow, all bounces) from the
+    # integrator's own counters — not just primary rays
+    from truetrace_tpu.integrate.pathtrace import render_sample_with_stats
+    pixel = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
+    _, st = jax.jit(lambda s: render_sample_with_stats(
+        scene, cam, cfg, pixel, s))(jnp.uint32(0))
+    rays_per_spp = float(st["n_trace"]) + float(st["n_shadow"])
+
     for n in device_counts:
         if cfg.height % n != 0:
             continue
@@ -45,9 +54,7 @@ def measure_scaling(scene, cam, cfg: RenderConfig, spp: int = 2,
             img = render_tiled(scene, cam, cfg, mesh, spp=spp)
         jax.block_until_ready(img)
         dt = (time.perf_counter() - t0) / iters
-        # ray accounting: primary rays * spp (bounce count folded into the
-        # relative efficiency, which is what the gate checks)
-        rays = cfg.width * cfg.height * spp
+        rays = rays_per_spp * spp
         rps = rays / dt
         if base is None:
             base = rps

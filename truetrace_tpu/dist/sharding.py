@@ -83,21 +83,30 @@ def render_tiled(scene: Scene, cam: Camera, cfg: RenderConfig, mesh: Mesh,
 
 def train_step_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
                        mesh: Mesh, target: jnp.ndarray, spp: int = 4,
-                       lr: float = 0.05, base_sample: int = 0):
+                       lr: float = 0.05, base_sample: int = 0,
+                       trainable=("base_color",)):
     """One differentiable-rendering optimization step, sharded over tiles.
 
-    Renders with current material parameters, computes L2 loss against
-    `target` ([H,W,3]), backprops through the full estimator, psums the
-    material gradients over the tile axis, and returns (loss, new_scene).
-    This is the multi-chip 'training step' shape: dp over pixels, replicated
-    params, ICI all-reduce of gradients.
+    Renders with the current trainable parameters (any mix of
+    MaterialTable columns plus "env_intensity" / "light_radiance" — the
+    full diff/render_grad.py pytree), computes L2 loss against `target`
+    ([H,W,3]), backprops through the full estimator, psums every gradient
+    leaf over the tile axis, and returns (loss, new_scene). This is the
+    multi-chip 'training step' shape: dp over pixels, replicated params,
+    ICI all-reduce of gradients.
     """
+    from truetrace_tpu.diff.render_grad import (get_scene_params,
+                                                set_scene_params)
     n = mesh.shape[TILE_AXIS]
     H, W = cfg.height, cfg.width
     assert H % n == 0
     rows_per = H // n
 
-    params = scene.materials.base_color
+    mat_keys = tuple(k for k in trainable
+                     if k not in ("env_intensity", "light_radiance"))
+    params = get_scene_params(scene, keys=mat_keys,
+                              with_env="env_intensity" in trainable,
+                              with_lights="light_radiance" in trainable)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(TILE_AXIS, None, None)),
@@ -108,21 +117,21 @@ def train_step_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
         row0 = my * rows_per
 
         def loss_fn(p):
-            sc = scene_rep.replace(
-                materials=scene_rep.materials.replace(base_color=p))
+            sc = set_scene_params(scene_rep, p)
             img = _render_rows(sc, cam_rep, cfg, spp, row0, rows_per,
                                base_sample)
             return jnp.mean((img - target_rows) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params_rep)
         loss = jax.lax.pmean(loss, TILE_AXIS)
-        g = jax.lax.pmean(g, TILE_AXIS)      # ICI all-reduce
+        g = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, TILE_AXIS), g)   # ICI all-reduce
         return loss, g
 
     loss, g = step(params, scene, cam, target)
-    new_mats = scene.materials.replace(
-        base_color=params - lr * g)
-    return loss, scene.replace(materials=new_mats)
+    new_params = jax.tree_util.tree_map(lambda p, gg: p - lr * gg,
+                                        params, g)
+    return loss, set_scene_params(scene, new_params)
 
 
 def init_multihost(coordinator: Optional[str] = None,

@@ -563,9 +563,16 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             alb = sample_atlas(scene.atlas, scene.atlas_rects,
                                mat.tex_albedo, uv, lod=lod,
                                level_y=scene.atlas_level_y)
+            tex_col = mat.base_color * alb[:, :3]
+            # texture adjustment chain on the fetched albedo (reference
+            # hue/brightness/saturation/contrast/blend,
+            # RayTracingShader.compute:630-649) — textured lanes only
+            from truetrace_tpu.core.math import adjust_color
+            tex_col = adjust_color(tex_col, mat.hue, mat.brightness,
+                                   mat.saturation, mat.contrast,
+                                   mat.blend_color, mat.blend_factor)
             mat = mat.replace(base_color=jnp.where(
-                (mat.tex_albedo >= 0)[..., None],
-                mat.base_color * alb[:, :3], mat.base_color))
+                (mat.tex_albedo >= 0)[..., None], tex_col, mat.base_color))
             # texture-driven cutout alpha (reference AdvancedAlphaMapped)
             mat = mat.replace(alpha=jnp.where(
                 mat.tex_albedo >= 0, mat.alpha * alb[:, 3], mat.alpha))
@@ -594,6 +601,18 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 mat = mat.replace(base_color=jnp.where(
                     use_mc[..., None], mat.base_color * mc[:, :3],
                     mat.base_color))
+
+        # ---- roughness/metallic remap ranges (reference
+        # RayTracingShader.compute:654-662; (0,1) = identity)
+        mat = mat.replace(
+            roughness=jnp.clip(
+                mat.rough_remap[:, 0] + mat.roughness
+                * (mat.rough_remap[:, 1] - mat.rough_remap[:, 0]),
+                1e-5, 1.0),
+            metallic=jnp.clip(
+                mat.metal_remap[:, 0] + mat.metallic
+                * (mat.metal_remap[:, 1] - mat.metal_remap[:, 0]),
+                0.0, 1.0))
 
         # ---- cutout alpha: stochastically pass straight through partial
         # surfaces (reference alpha-mapped any/closest-hit skips,

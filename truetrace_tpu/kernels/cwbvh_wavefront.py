@@ -50,6 +50,7 @@ scenes, which is worth ~4x on dependent-gather latency (BASELINE.md).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -59,6 +60,19 @@ import numpy as np
 from truetrace_tpu.kernels.traverse_ref import Hit
 
 U32 = jnp.uint32
+# Transpose the gathered [R,30] row to [30,R] once per iteration so every
+# column read is a clean lane row instead of a stride-30 slice: measured
+# +5-8% on v5e (3.10 vs 2.88 Mrays/s same-session, scripts/tune_r2.py).
+# TT_TRANSPOSE_ROW=0 restores column slices.
+_TRANSPOSE_ROW = os.environ.get("TT_TRANSPOSE_ROW", "1") == "1"
+
+
+def _row_cols(row):
+    """Column accessor for a gathered [R,W] row block (see _TRANSPOSE_ROW)."""
+    if _TRANSPOSE_ROW:
+        t = row.T
+        return lambda k: t[k]
+    return lambda k: row[:, k]
 MAX_STACK = 16        # one entry per tree level; CWBVH depth ~ log8(T)
 PTR_MASK = U32(0x00FFFFFF)   # low 24 bits of chim/bleaf hold the base index
 LEAF_MASK = U32(0x000000FF)  # hits bits 0..7 = pending leaf slots
@@ -221,7 +235,7 @@ def _decode_rows_to_group(w, ro, rd, inv_rd, t_best):
     of the gathered rows; [R,8]/[R,3]/u8-bitcast formulations cost ~2x in
     TPU relayout traffic — measured, see BASELINE.md)."""
     R = w.shape[0]
-    col = lambda k: w[:, k]
+    col = _row_cols(w)
     chim = col(24)
     bleaf = col(25)
     imask = chim >> 24
@@ -379,7 +393,7 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
     # id-gated). Fully scalarized on [R] columns — [R,3] slices of the
     # gathered row cost ~2x in relayout traffic (measured, BASELINE.md).
     tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
-    tcol = lambda k: tripf[:, k]
+    tcol = _row_cols(tripf)
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     for j in range(3):

@@ -17,7 +17,7 @@ wavefront is the planned upgrade for large instance counts.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -78,53 +78,84 @@ def make_transform(translate=(0, 0, 0), rot_y: float = 0.0,
     return m
 
 
+class SourceBuild(NamedTuple):
+    """One source mesh's BLAS build in LOCAL, un-relocated form — the unit
+    the AssetManager's background build pool produces (counterpart of the
+    reference's per-ParentObject BuildTotal worker task,
+    Resources/AssetManager.cs:978 + Objects/ParentObject.cs:973)."""
+    nodes: np.ndarray       # [C,20] u32, pointers source-local
+    rows: np.ndarray        # [L,30] leaf rows, tri ids source-local
+    p0: np.ndarray
+    e1: np.ndarray
+    e2: np.ndarray
+    mat: np.ndarray
+    n: np.ndarray
+    uv: np.ndarray
+    tan: np.ndarray
+    local_boxes: np.ndarray  # [T,2,3]
+
+
+def build_source(mesh: HostMesh) -> SourceBuild:
+    """BLAS-build one source mesh (BVH2 -> CWBVH -> packed leaf rows) in
+    local space. Pure function of the mesh — safe to run on a worker
+    thread and cache across rebuilds."""
+    tris = flatten_meshes([mesh])
+    box = aabb_ops.from_tris(tris["p0"], tris["p0"] + tris["e1"],
+                             tris["p0"] + tris["e2"])
+    bvh = build_bvh2(box, max_leaf=3, sah_leaf_cap=3)
+    cw = build_cwbvh(bvh, box[bvh.order])
+    perm = bvh.order[cw.tri_index]
+    w, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
+                             cw.slot_tri_count, tris["p0"][perm],
+                             tris["e1"][perm], tris["e2"][perm])
+    return SourceBuild(nodes=w, rows=rows, p0=tris["p0"][perm],
+                       e1=tris["e1"][perm], e2=tris["e2"][perm],
+                       mat=tris["mat"][perm], n=tris["n"][perm],
+                       uv=tris["uv"][perm], tan=tris["tan"][perm],
+                       local_boxes=box[bvh.order][cw.tri_index])
+
+
 def build_instanced(sources: Sequence[HostMesh],
                     instances: Sequence[Tuple[int, np.ndarray]],
+                    prebuilt: Optional[Sequence[SourceBuild]] = None,
                     ) -> InstancedScene:
     """sources: one HostMesh per unique geometry (local space);
-    instances: (source_id, l2w 4x4) pairs."""
+    instances: (source_id, l2w 4x4) pairs. prebuilt: optional per-source
+    BLAS builds (AssetManager background pool) — skips rebuild."""
     nodes_list, row_list = [], []
     p0l, e1l, e2l, matl = [], [], [], []
     nl, uvl, tanl = [], [], []
     src_tables = []
     src_off, src_cnt, src_aabb = [], [], []
     n_off = t_off = l_off = 0
-    for mesh in sources:
-        tris = flatten_meshes([mesh])
-        box = aabb_ops.from_tris(tris["p0"], tris["p0"] + tris["e1"],
-                                 tris["p0"] + tris["e2"])
-        bvh = build_bvh2(box, max_leaf=3, sah_leaf_cap=3)
-        cw = build_cwbvh(bvh, box[bvh.order])
-        perm = bvh.order[cw.tri_index]
-        p0 = tris["p0"][perm]
-        e1 = tris["e1"][perm]
-        e2 = tris["e2"][perm]
-        mat = tris["mat"][perm]
-        w, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
-                                 cw.slot_tri_count, p0, e1, e2)
+    for si, mesh in enumerate(sources):
+        sb = (prebuilt[si] if prebuilt is not None and
+              prebuilt[si] is not None else build_source(mesh))
         # relocate node child/leaf pointers + global tri ids by the
         # aggregate offsets
+        w = sb.nodes.copy()
+        rows = sb.rows.copy()
         w[:, 4] += n_off
         w[:, 5] += l_off
         idv = rows.view(np.int32)[:, 27:30]
         idv[idv >= 0] += t_off
         nodes_list.append(w)
         row_list.append(rows)
-        p0l.append(p0)
-        e1l.append(e1)
-        e2l.append(e2)
-        matl.append(mat)
-        nl.append(tris["n"][perm])
-        uvl.append(tris["uv"][perm])
-        tanl.append(tris["tan"][perm])
-        local_boxes = box[bvh.order][cw.tri_index]
+        p0l.append(sb.p0)
+        e1l.append(sb.e1)
+        e2l.append(sb.e2)
+        matl.append(sb.mat)
+        nl.append(sb.n)
+        uvl.append(sb.uv)
+        tanl.append(sb.tan)
+        local_boxes = sb.local_boxes
         src_tables.append((n_off, t_off, local_boxes))
         src_off.append(t_off)
-        src_cnt.append(p0.shape[0])
+        src_cnt.append(sb.p0.shape[0])
         src_aabb.append(np.stack([local_boxes[:, 0].min(0),
                                   local_boxes[:, 1].max(0)]))
         n_off += w.shape[0]
-        t_off += p0.shape[0]
+        t_off += sb.p0.shape[0]
         l_off += rows.shape[0]
 
     l2w_rows, w2l_rows, n_offs, t_offs, aabbs = [], [], [], [], []
@@ -266,7 +297,8 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
                             instances: Sequence[Tuple[int, np.ndarray]],
                             env=None, lights=None, atlas=None,
                             atlas_rects=None, atlas_level_y=None,
-                            with_light_bvh: bool = False):
+                            with_light_bvh: bool = False,
+                            prebuilt=None):
     """Build a full render-ready Scene for an instanced world: shared
     local-space BLASes + an interleaved TLAS (traversal="tlas"), with
     materials/normals/UVs/NEE all wired through the integrator — the
@@ -279,7 +311,7 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         AnalyticLights, EnvMap, LightTris, MeshTable, Scene)
     from truetrace_tpu.scene.mesh import material_table
 
-    isc = build_instanced(sources, instances)
+    isc = build_instanced(sources, instances, prebuilt=prebuilt)
     l2w_np = np.asarray(isc.l2w)
     app, em_rank, light_offset = _world_light_tris(isc, mats, l2w_np)
     T_local = int(np.asarray(isc.tri_mat).shape[0])

@@ -57,10 +57,25 @@ class MaterialTable:
                                   # (reference calcFinalColor matcap path,
                                   # RayTracingShader.compute:129-159)
 
+    # texture adjustment pipeline applied to the albedo fetch (reference
+    # kernel_shade hue/brightness/saturation/contrast/blend,
+    # RayTracingShader.compute:630-649) + roughness/metallic remap ranges
+    # (RayTracingShader.compute:654-662)
+    hue: jnp.ndarray              # [M] hue rotation (degrees)
+    brightness: jnp.ndarray       # [M] multiplier (1 = neutral)
+    saturation: jnp.ndarray       # [M] 1 = neutral, 0 = grayscale
+    contrast: jnp.ndarray         # [M] 1 = neutral (pivot 0.5)
+    blend_color: jnp.ndarray      # [M,3]
+    blend_factor: jnp.ndarray     # [M] lerp(albedo, blend_color, f)
+    rough_remap: jnp.ndarray      # [M,2] (lo,hi); (0,1) = identity
+    metal_remap: jnp.ndarray      # [M,2]
+
     @staticmethod
     def make(n: int) -> "MaterialTable":
         f = lambda *s: jnp.zeros((n, *s), jnp.float32)
         i = lambda: jnp.full((n,), -1, jnp.int32)
+        remap01 = jnp.broadcast_to(jnp.asarray([0.0, 1.0], jnp.float32),
+                                   (n, 2))
         return MaterialTable(
             base_color=jnp.ones((n, 3), jnp.float32) * 0.8,
             emission=f(3), roughness=jnp.ones((n,), jnp.float32) * 0.5,
@@ -71,6 +86,11 @@ class MaterialTable:
             clearcoat=f(), clearcoat_gloss=jnp.ones((n,), jnp.float32) * 0.97,
             anisotropic=f(), subsurface=f(), diff_trans=f(), thin=f(),
             alpha=jnp.ones((n,), jnp.float32),
+            hue=f(), brightness=jnp.ones((n,), jnp.float32),
+            saturation=jnp.ones((n,), jnp.float32),
+            contrast=jnp.ones((n,), jnp.float32),
+            blend_color=f(3), blend_factor=f(),
+            rough_remap=remap01, metal_remap=remap01,
             tex_albedo=i(), tex_normal=i(), tex_emission=i(),
             tex_rough_metal=i(), tex_matcap=i(),
         )

@@ -52,6 +52,15 @@ class HostMaterial:
     diff_trans: float = 0.0
     thin: float = 0.0
     alpha: float = 1.0
+    # texture adjustments (reference RayTracingShader.compute:630-662)
+    hue: float = 0.0                       # hue rotation, degrees
+    brightness: float = 1.0
+    saturation: float = 1.0
+    contrast: float = 1.0
+    blend_color: tuple = (0.0, 0.0, 0.0)
+    blend_factor: float = 0.0
+    rough_remap: tuple = (0.0, 1.0)
+    metal_remap: tuple = (0.0, 1.0)
     tex_albedo: int = -1
     tex_normal: int = -1
     tex_emission: int = -1
@@ -77,6 +86,10 @@ def material_table(mats: List[HostMaterial]) -> MaterialTable:
         clearcoat=col("clearcoat"), clearcoat_gloss=col("clearcoat_gloss"),
         anisotropic=col("anisotropic"), subsurface=col("subsurface"),
         diff_trans=col("diff_trans"), thin=col("thin"), alpha=col("alpha"),
+        hue=col("hue"), brightness=col("brightness"),
+        saturation=col("saturation"), contrast=col("contrast"),
+        blend_color=col("blend_color"), blend_factor=col("blend_factor"),
+        rough_remap=col("rough_remap"), metal_remap=col("metal_remap"),
         tex_albedo=icol("tex_albedo"), tex_normal=icol("tex_normal"),
         tex_emission=icol("tex_emission"),
         tex_rough_metal=icol("tex_rough_metal"),
