@@ -1,12 +1,15 @@
-"""Round-2 traversal tuning: measure closest-hit throughput for kernel
-variants toggled by env flags (each variant runs in a fresh subprocess so
-the module-level flags re-read).
+"""Round-2 traversal tuning harness: measure closest-hit throughput for
+kernel variants toggled by env flags (each variant runs in a fresh
+subprocess so module-level flags re-read). Incoherent bounce rays,
+marginal-slope timing (CLAUDE.md benchmarking rules).
 
-Variants:
-  base                 current kernel
-  transpose_row        TT_TRANSPOSE_ROW=1 — one explicit [R,30]->[30,R]
-                       transpose per iteration instead of stride-30
-                       column slices
+Flags exercised across round 2 (findings recorded in BASELINE.md):
+  TT_TRANSPOSE_ROW=0   restore per-column stride-30 slices (default 1:
+                       one shared u32 transpose — measured +15-20%)
+  TT_MAX_STACK=N       stack plane count for callers without a Scene
+                       (Scene.cw_stack carries the exact tree depth)
+  TT_CHUNK_RAYS=N      lax.map chunk size for batches above 64k
+  TT_DETAIL=x          atrium scene density (1.5 = 293k tris, 5 = 5.2M)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/tune_r2.py
 """
@@ -31,14 +34,15 @@ from truetrace_tpu.core import rng
 from truetrace_tpu.core.math import sample_cosine_hemisphere, to_world
 from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
 
-meshes, mats, cam, env = atrium.make(detail=1.5)
+detail = float(os.environ.get("TT_DETAIL", "1.5"))
+meshes, mats, cam, env = atrium.make(detail=detail)
 scene = compile_scene(meshes, mats, env=env, with_cwbvh=True)
 R = 1 << 16
 pix = jnp.arange(R, dtype=jnp.uint32)
 jit2 = rng.uniform2(pix, jnp.uint32(0), jnp.uint32(0))
 ro_p, rd_p = camera_rays(cam, 1 << 10, R >> 10, pix.astype(jnp.int32), jit2)
-f = jax.jit(lambda n, l, o, d: closest_hit_wavefront(n, l, o, d,
-                                                     jnp.float32(1e30)))
+f = jax.jit(lambda n, l, o, d: closest_hit_wavefront(
+    n, l, o, d, jnp.float32(1e30), max_stack=scene.cw_stack))
 h = f(scene.cw_nodes, scene.cw_leaf_rows, ro_p, rd_p)
 p_hit = ro_p + rd_p * h.t[:, None]
 u2 = rng.uniform2(pix, jnp.uint32(1), jnp.uint32(3))
@@ -63,7 +67,7 @@ print("RESULT", ms, R / (ms * 1e-3) / 1e6, flush=True)
 def main():
     variants = [
         ("base", {}),
-        ("transpose_row", {"TT_TRANSPOSE_ROW": "1"}),
+        ("no_transpose", {"TT_TRANSPOSE_ROW": "0"}),
         ("base_again", {}),     # chip-noise control
     ]
     out = {}

@@ -100,66 +100,5 @@ def main():
     print(json.dumps(out), flush=True)
 
 
-if __name__ == "__main__" and not os.environ.get("TUNE_FUSED"):
+if __name__ == "__main__":
     main()
-
-
-def fused_sweep():
-    """Fused vs unfused step on the mixed bench workload."""
-    detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
-    R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
-    iters = int(os.environ.get("BENCH_ITERS", "6"))
-
-    from truetrace_tpu.core import rng
-    from truetrace_tpu.core.math import sample_cosine_hemisphere, to_world
-    from truetrace_tpu.kernels import cwbvh_wavefront as wf
-    from truetrace_tpu.scene import atrium
-    from truetrace_tpu.scene.ir import camera_rays
-    from truetrace_tpu.scene.mesh import compile_scene
-
-    meshes, mats, cam, env = atrium.make(detail=detail)
-    scene = compile_scene(meshes, mats, env=env, with_cwbvh=True)
-    print(f"scene {scene.n_tris()} tris R={R}", flush=True)
-    pix = jnp.arange(R, dtype=jnp.uint32)
-    jit2 = rng.uniform2(pix, jnp.uint32(0), jnp.uint32(0))
-    ro_p, rd_p = camera_rays(cam, 1 << 10, max(R >> 10, 1),
-                             pix.astype(jnp.int32), jit2)
-    h = wf.closest_hit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
-                                 ro_p, rd_p, jnp.float32(1e30))
-    p_hit = ro_p + rd_p * h.t[:, None]
-    u2 = rng.uniform2(pix, jnp.uint32(1), jnp.uint32(3))
-    gn = jnp.stack([jnp.zeros(R), jnp.ones(R), jnp.zeros(R)], -1)
-    rd_b = to_world(gn, sample_cosine_hemisphere(u2))
-    ro_b = p_hit + gn * 1e-3
-    tm_b = jnp.full((R,), 25.0, jnp.float32)
-
-    out = {}
-    for fused in (True, False):
-        cj = jax.jit(lambda n, l, o, d, t, f=fused:
-                     wf.closest_hit_wavefront(n, l, o, d, t, fused=f))
-        aj = jax.jit(lambda n, l, o, d, t, f=fused:
-                     wf.any_hit_wavefront(n, l, o, d, t, fused=f))
-
-        def once():
-            a = cj(scene.cw_nodes, scene.cw_leaf_rows, ro_p, rd_p,
-                   jnp.float32(1e30))
-            b = cj(scene.cw_nodes, scene.cw_leaf_rows, ro_b, rd_b,
-                   jnp.float32(1e30))
-            c = aj(scene.cw_nodes, scene.cw_leaf_rows, ro_b, rd_b, tm_b)
-            return a.t, b.t, c
-        r = once()
-        [np.asarray(x) for x in r]
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = once()
-        [np.asarray(x) for x in r]
-        dt = (time.perf_counter() - t0) / iters
-        m = 3 * R / dt / 1e6
-        out[f"fused{int(fused)}"] = round(m, 3)
-        print(f"fused={fused}: {m:.3f} Mrays/s", flush=True)
-    print(json.dumps(out), flush=True)
-
-
-if os.environ.get("TUNE_FUSED"):
-    fused_sweep()
-    sys.exit(0)

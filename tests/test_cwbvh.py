@@ -152,3 +152,44 @@ def test_brute_mxu_matches_reference():
     both = hm & bm
     assert np.allclose(np.asarray(h.t)[both], np.asarray(ref.t)[both],
                        rtol=2e-3, atol=2e-4)
+
+
+def test_mixed_dispatch_matches_split_dispatches():
+    """mixed_hit_wavefront: one heterogeneous batch (closest + any-hit
+    lanes) must equal the two homogeneous dispatches — the kernel that
+    lets an integrator flush shadow rays inside the next bounce's trace
+    (reference runs separate kernel_trace/kernel_shadow indirect
+    dispatches, RayTracingMaster.cs:968,996)."""
+    import jax.numpy as jnp
+
+    from truetrace_tpu.core import rng
+    from truetrace_tpu.kernels.cwbvh_wavefront import (
+        any_hit_wavefront, closest_hit_wavefront, mixed_hit_wavefront)
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.ir import camera_rays
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats, with_cwbvh=True)
+    R = 8192
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    jit2 = rng.uniform2(pix, jnp.uint32(0), jnp.uint32(0))
+    ro, rd = camera_rays(cam, 128, 64, pix.astype(jnp.int32), jit2)
+    is_any = (pix % 2 == 1)
+    t_max = jnp.full((R,), 1e30)
+
+    hit_m = mixed_hit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
+                                ro, rd, t_max, is_any)
+    hit_c = closest_hit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
+                                  ro, rd, t_max)
+    blocked = any_hit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
+                                ro, rd, t_max)
+
+    m_tri = np.asarray(hit_m.tri)
+    sel = np.asarray(is_any)
+    # closest lanes: full closest-hit record matches
+    np.testing.assert_array_equal(m_tri[~sel], np.asarray(hit_c.tri)[~sel])
+    np.testing.assert_allclose(np.asarray(hit_m.t)[~sel],
+                               np.asarray(hit_c.t)[~sel])
+    # any-hit lanes: found-ness matches the any-hit dispatch
+    np.testing.assert_array_equal(m_tri[sel] >= 0, np.asarray(blocked)[sel])

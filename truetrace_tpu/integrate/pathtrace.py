@@ -245,7 +245,8 @@ def _trace(scene: Scene, ro, rd, cfg: "RenderConfig", alive=None):
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import closest_hit_wavefront
         return closest_hit_wavefront(
-            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max), no_inst
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max,
+            max_stack=scene.cw_stack), no_inst
     if cfg.traversal == "cwbvh":
         # scene.cw_nodes are pack_leaf_rows-patched (word 5 = base leaf
         # row), so the rows-aware oracle must be used here
@@ -280,7 +281,8 @@ def _transmission(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import transmit_wavefront
         tp = transmit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
-                                scene.tri_shadow, ro, rd, t_max)
+                                scene.tri_shadow, ro, rd, t_max,
+                                max_stack=scene.cw_stack)
     else:
         # portable oracle path (small test scenes)
         from truetrace_tpu.kernels.traverse_ref import transmit_brute
@@ -305,7 +307,8 @@ def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     if cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import any_hit_wavefront
         return any_hit_wavefront(
-            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max)
+            scene.cw_nodes, scene.cw_leaf_rows, ro, rd, t_max,
+            max_stack=scene.cw_stack)
     if cfg.traversal == "cwbvh":
         from truetrace_tpu.kernels.cwbvh_ref import any_hit_cwbvh_rows
         return any_hit_cwbvh_rows(

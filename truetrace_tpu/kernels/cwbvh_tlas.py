@@ -86,7 +86,8 @@ def _init_state(unified, ro, rd, t_max, tlas_root, max_stack):
     root_ids = jnp.broadcast_to(jnp.asarray(tlas_root, jnp.int32), (R,))
     hits, chim, bleaf = _decode_rows_to_group(
         unified[root_ids], ro, rd, inv, t_best)
-    zero_u = jnp.zeros((R, max_stack), U32)
+    zero_u = jnp.zeros((max_stack, R), U32)   # plane-major (see
+    # cwbvh_wavefront._init_state: minor-dim tiles pad to 128)
     return dict(
         ro=ro, rd=rd, inv=inv, oct=oct_key,
         ro_w=ro, rd_w=rd,                      # saved world ray
@@ -118,9 +119,9 @@ def _step(unified, C, L, I, any_hit, st):
 
     # ---- 1. pop; leaving the instance when the stack drops below ret_sp
     pop = (hits == 0) & (sp > 0)
-    hits = jnp.where(pop, st["phits"][:, 0], hits)
-    chim = jnp.where(pop, st["pchim"][:, 0], chim)
-    bleaf = jnp.where(pop, st["pbleaf"][:, 0], bleaf)
+    hits = jnp.where(pop, st["phits"][0], hits)
+    chim = jnp.where(pop, st["pchim"][0], chim)
+    bleaf = jnp.where(pop, st["pbleaf"][0], bleaf)
     sp = sp - pop.astype(jnp.int32)
     leave = pop & in_blas & (sp < ret_sp)
     ro = jnp.where(leave[:, None], st["ro_w"], ro)
@@ -229,9 +230,9 @@ def _step(unified, C, L, I, any_hit, st):
     for key, saved in (("phits", saved_hits), ("pchim", chim),
                        ("pbleaf", bleaf)):
         plane = st[key]
-        based = jnp.where(pop[:, None], _shift_pop(plane), plane)
+        based = jnp.where(pop[None, :], _shift_pop(plane), plane)
         pushed = _shift_push(based, saved.astype(plane.dtype))
-        st[key] = jnp.where(push[:, None], pushed, based)
+        st[key] = jnp.where(push[None, :], pushed, based)
     sp = sp + push.astype(jnp.int32)
 
     # enter: swap in the local ray + mark return height

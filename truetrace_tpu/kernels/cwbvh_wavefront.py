@@ -73,7 +73,15 @@ def _row_cols(row):
         t = row.T
         return lambda k: t[k]
     return lambda k: row[:, k]
-MAX_STACK = 16        # one entry per tree level; CWBVH depth ~ log8(T)
+
+
+# One entry per tree level; CWBVH depth ~ log8(T) (measured: 9 at 293k
+# tris, 12 at 5.2M). The stack planes are shift registers — every
+# iteration shuffles all MAX_STACK columns of 3 planes (~14% of the step,
+# ablation in BASELINE.md) — so compile_scene computes the EXACT tree
+# depth and passes it via Scene.cw_stack; 16 is the safe default for
+# callers without a scene handle.
+MAX_STACK = int(os.environ.get("TT_MAX_STACK", "16"))
 PTR_MASK = U32(0x00FFFFFF)   # low 24 bits of chim/bleaf hold the base index
 LEAF_MASK = U32(0x000000FF)  # hits bits 0..7 = pending leaf slots
 ROW_W = 30                   # leaf row: 3x(p0,e1,e2) + 3 tri ids
@@ -221,8 +229,15 @@ def expand_nodes(nodes):
 
 
 def _decode_rows_to_group(w, ro, rd, inv_rd, t_best):
-    """Slab-test the 8 children of pre-gathered EXPANDED node rows
-    (expand_nodes layout). Returns the 3-word group:
+    """Slab-test pre-gathered EXPANDED node rows [R,30] (expand_nodes
+    layout) — see _decode_cols."""
+    return _decode_cols(_row_cols(w), w.shape[0], ro, rd, inv_rd, t_best)
+
+
+def _decode_cols(col, R, ro, rd, inv_rd, t_best):
+    """Slab-test the 8 children of expanded node rows given a COLUMN
+    accessor col(k) -> [R] u32 (lets _step share one transpose between
+    decode and the Moller tests). Returns the 3-word group:
 
         hits  u32: bit j      = leaf slot j pending (j = 0..7)
                    bit 24+j   = internal child slot j pending
@@ -234,8 +249,6 @@ def _decode_rows_to_group(w, ro, rd, inv_rd, t_best):
     Everything is computed on full-width [R] columns (single-column slices
     of the gathered rows; [R,8]/[R,3]/u8-bitcast formulations cost ~2x in
     TPU relayout traffic — measured, see BASELINE.md)."""
-    R = w.shape[0]
-    col = _row_cols(w)
     chim = col(24)
     bleaf = col(25)
     imask = chim >> 24
@@ -281,10 +294,26 @@ def _pack_table(nodes, leaf_rows):
          jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32)], axis=0)
 
 
+_PLANE_KEYS = ("phits", "pchim", "pbleaf")
+
+
+def _take(st, idx):
+    """Compact/permute the state dict along the LANE axis. Stack planes
+    are [S,R] (lane axis LAST); everything else leads with it."""
+    return {k: (a[:, idx] if k in _PLANE_KEYS else a[idx])
+            for k, a in st.items()}
+
+
 def _init_state(unified, ro, rd, t_max, root, max_stack):
-    """Per-ray traversal state as a flat dict of [R,...] arrays, so the
-    cascade can permute/compact it uniformly. `unified` is the packed
-    table from _pack_table (expanded node rows first)."""
+    """Per-ray traversal state as a flat dict of arrays keyed by lane.
+
+    The stack planes are PLANE-MAJOR [max_stack, R]: TPU tiles pad the
+    minor dimension to 128 lanes, so a [R,S] plane wastes (128-S)/128 of
+    its tile and its shift-register push/pop walks the padded minor dim —
+    measured 3.37 vs 3.55 Mrays/s for S=10 vs 16, i.e. shrinking S bought
+    nothing. With [S,R] the shifts are major-dim concats and the pop read
+    st["phits"][0] is a clean [R] row. `unified` is the packed table from
+    _pack_table (expanded node rows first)."""
     R = ro.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12,
                              jnp.where(rd >= 0, 1e-12, -1e-12), rd)
@@ -299,7 +328,7 @@ def _init_state(unified, ro, rd, t_max, root, max_stack):
     root_ids = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (R,))
     hits, chim, bleaf = _decode_rows_to_group(
         unified[root_ids], ro, rd, inv_rd, t_best)
-    zero_u = jnp.zeros((R, max_stack), U32)
+    zero_u = jnp.zeros((max_stack, R), U32)
     return dict(
         ro=ro, rd=rd, inv=inv_rd, oct=oct_key,
         hits=hits, chim=chim, bleaf=bleaf,
@@ -316,44 +345,41 @@ def _active(st):
 
 
 def _shift_pop(plane):
-    return jnp.concatenate([plane[:, 1:], plane[:, :1] * 0], axis=1)
+    """[S,R] plane-major: drop row 0, zero-fill the bottom."""
+    return jnp.concatenate([plane[1:], plane[:1] * 0], axis=0)
 
 
-def _shift_push(plane, new_col):
-    return jnp.concatenate([new_col[:, None], plane[:, :-1]], axis=1)
+def _shift_push(plane, new_row):
+    return jnp.concatenate([new_row[None, :], plane[:-1]], axis=0)
 
 
-def _step(unified, L, C, any_hit, st, fused: bool = False):
+def _step(unified, L, C, any_hit, st):
     """One lock-step traversal iteration over the state dict (the loop body
     described in the module docstring).
 
-    fused=True processes one pending LEAF row AND one pending NODE slot
-    in the same iteration when a lane has both (two independent gathers
-    per latency window). Measured on v5e: 2.58 vs 2.98 Mrays/s — the
-    second gather stream costs more than the saved iterations, so the
-    default stays False (kept for bigger-table scenes where gather
-    latency dominates)."""
+    A "fused" variant that gathered one leaf row AND one node row per
+    iteration (two independent gathers per latency window) was measured
+    and REMOVED: 2.58 vs 2.98 Mrays/s on cache-resident tables and 0.43
+    vs 0.79 on the 290 MB 5.2M-tri table — the second gather stream costs
+    more than the saved iterations in BOTH regimes (BASELINE.md)."""
     ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
     hits, chim, bleaf, sp = st["hits"], st["chim"], st["bleaf"], st["sp"]
     t_best, tri_best, u_best, v_best = st["t"], st["tri"], st["u"], st["v"]
 
     # ---- 1. pop a saved group where the current one is exhausted
     pop = (hits == 0) & (sp > 0)
-    hits = jnp.where(pop, st["phits"][:, 0], hits)
-    chim = jnp.where(pop, st["pchim"][:, 0], chim)
-    bleaf = jnp.where(pop, st["pbleaf"][:, 0], bleaf)
+    hits = jnp.where(pop, st["phits"][0], hits)
+    chim = jnp.where(pop, st["pchim"][0], chim)
+    bleaf = jnp.where(pop, st["pbleaf"][0], bleaf)
     sp = sp - pop.astype(jnp.int32)
 
-    # ---- 2. choose work: pending leaves first (shrinks t_best before more
-    # descents), plus (fused) the nearest node slot in octant order
+    # ---- 2. choose work: pending leaves first (shrinks t_best before
+    # more descents)
     leaf_bits = hits & LEAF_MASK
     node_bits = hits >> 24
     active = hits != 0
     leaf_lane = active & (leaf_bits != 0)
-    if fused:
-        descend = active & (node_bits != 0)
-    else:
-        descend = active & ~leaf_lane
+    descend = active & ~leaf_lane
 
     # leaf: lowest pending slot bit; its rank among the node's leaf slots
     # addresses the packed leaf row
@@ -377,23 +403,23 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
     rank = jax.lax.population_count(below).astype(jnp.int32)
     child = jnp.clip((chim & PTR_MASK).astype(jnp.int32) + rank, 0, C - 1)
 
-    # ---- 3. the gathers. fused: leaf row + child node row are
-    # INDEPENDENT accesses (both indices known now) — XLA issues them in
-    # the same dependent-gather latency window. unfused: one unified access
-    if fused:
-        row = unified[jnp.where(leaf_lane, C + lrow, 0)]
-        nrow = unified[jnp.where(descend, child, 0)]
-    else:
-        row_idx = jnp.where(leaf_lane, C + lrow,
-                            jnp.where(descend, child, 0))
-        row = unified[row_idx]                          # [R,30] u32
-        nrow = row
+    # ---- 3. THE gather: one unified row per lane (leaf row for leaf
+    # lanes, child node row for descending lanes)
+    row_idx = jnp.where(leaf_lane, C + lrow,
+                        jnp.where(descend, child, 0))
+    row = unified[row_idx]                              # [R,30] u32
+
+    # ONE u32 transpose of the gathered row serves the Moller tests, the
+    # tri ids AND the node decode: per-column f32/i32 views are free
+    # bitcasts of [R] u32 rows, where separate f32/u32 transposes of the
+    # same row cost an extra relayout each (ablation: the Moller block is
+    # ~25% of the step and is dominated by column-read traffic)
+    ucol = _row_cols(row)
+    tcol = lambda k: jax.lax.bitcast_convert_type(ucol(k), jnp.float32)
 
     # ---- 3a. leaf lanes: <=3 Moller tests (pad tris are degenerate and
     # id-gated). Fully scalarized on [R] columns — [R,3] slices of the
     # gathered row cost ~2x in relayout traffic (measured, BASELINE.md).
-    tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
-    tcol = _row_cols(tripf)
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     for j in range(3):
@@ -401,7 +427,7 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
-        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
+        tri_id = jax.lax.bitcast_convert_type(ucol(27 + j), jnp.int32)
         # Moller-Trumbore
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
@@ -429,24 +455,20 @@ def _step(unified, L, C, any_hit, st, fused: bool = False):
     # pop applies first, then push on the popped state (a lane may pop AND
     # push in one iteration — pushing onto the pre-pop stack would
     # resurrect the popped entry and drop the deepest one).
-    if fused:
-        # remainder = unprocessed leaf bits + remaining node slots
-        rest = (hits_leaf & LEAF_MASK) | (node_rest << 24)
-    else:
-        rest = node_rest << 24      # leaf bits drained before any descent
+    rest = node_rest << 24          # leaf bits drained before any descent
     push = descend & (rest != 0)
     for key, saved in (("phits", rest), ("pchim", chim),
                        ("pbleaf", bleaf)):
         plane = st[key]
-        based = jnp.where(pop[:, None], _shift_pop(plane), plane)
+        based = jnp.where(pop[None, :], _shift_pop(plane), plane)
         pushed = _shift_push(based, saved.astype(plane.dtype))
-        st[key] = jnp.where(push[:, None], pushed, based)
+        st[key] = jnp.where(push[None, :], pushed, based)
     sp = sp + push.astype(jnp.int32)
 
-    # decode + slab the child row for descending lanes (fused: from the
-    # second gather; unfused: `row` already holds it)
-    c_hits, c_chim, c_bleaf = _decode_rows_to_group(nrow, ro, rd,
-                                                    inv_rd, t_best)
+    # decode + slab the child row for descending lanes (from the shared
+    # transpose of `row`)
+    c_hits, c_chim, c_bleaf = _decode_cols(ucol, ro.shape[0], ro, rd,
+                                           inv_rd, t_best)
     hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
     chim = jnp.where(descend, c_chim, chim)
     bleaf = jnp.where(descend, c_bleaf, bleaf)
@@ -469,8 +491,7 @@ _ITER_CAP = 65536   # safety bound; reference caps at 1000 iters/ray
                     # (IntersectionKernels.compute:155 `while(i++ < 1000)`)
 
 
-def _run_stage(unified, L, C, any_hit, st, target: int,
-               fused: bool = False):
+def _run_stage(unified, L, C, any_hit, st, target: int):
     """Iterate until <= `target` lanes remain active (0 = run to done)."""
     def cond(c):
         s, it = c
@@ -479,27 +500,26 @@ def _run_stage(unified, L, C, any_hit, st, target: int,
 
     def body(c):
         s, it = c
-        return _step(unified, L, C, any_hit, s, fused=fused), it + 1
+        return _step(unified, L, C, any_hit, s), it + 1
 
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st
 
 
 def _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
-              max_stack: int, root=0, fused: bool = False):
+              max_stack: int, root=0):
     """Single-stage traversal (full batch lock-step until every ray done)."""
     L, C = leaf_rows.shape[0], nodes.shape[0]
     assert C < (1 << 24) and L < (1 << 24), \
         "chim/bleaf pack base indices into 24 bits"
     unified = _pack_table(nodes, leaf_rows)
     st = _init_state(unified, ro, rd, t_max, root, max_stack)
-    st = _run_stage(unified, L, C, any_hit, st, 0, fused=fused)
+    st = _run_stage(unified, L, C, any_hit, st, 0)
     return Hit(t=st["t"], tri=st["tri"], u=st["u"], v=st["v"])
 
 
 def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
-                      max_stack: int, root=0, stages: int = 8,
-                      fused: bool = False):
+                      max_stack: int, root=0, stages: int = 8):
     """Occupancy-cascade traversal (see module docstring)."""
     R = ro.shape[0]
     L, C = leaf_rows.shape[0], nodes.shape[0]
@@ -511,8 +531,7 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
     for _ in range(stages):
         if size % 2 or size // 2 < 512:
             break
-        st = _run_stage(unified, L, C, any_hit, st, size // 2,
-                        fused=fused)
+        st = _run_stage(unified, L, C, any_hit, st, size // 2)
         act = _active(st)
         # active lanes first (stable, so retired rows keep relative order)
         perm = jnp.argsort(jnp.where(act, 0, 1), stable=True)
@@ -520,9 +539,9 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
         keep, drop = perm[:half], perm[half:]
         retired.append(tuple(st[k][drop] for k in ("orig", "t", "tri",
                                                    "u", "v")))
-        st = {k: a[keep] for k, a in st.items()}
+        st = _take(st, keep)
         size = half
-    st = _run_stage(unified, L, C, any_hit, st, 0, fused=fused)
+    st = _run_stage(unified, L, C, any_hit, st, 0)
     retired.append(tuple(st[k] for k in ("orig", "t", "tri", "u", "v")))
 
     orig, t, tri, u, v = (jnp.concatenate(cols) for cols in zip(*retired))
@@ -535,11 +554,16 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
 _CASCADE_MIN_RAYS = 4096
 # above this, chunk through lax.map: 64k batches are the measured v5e
 # sweet spot (BASELINE.md) — big batches lose ~2x to cascade-stage width
-_CHUNK_RAYS = 65536
+_CHUNK_RAYS = int(os.environ.get("TT_CHUNK_RAYS", "65536"))
 
 
 def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
-              cascade, fused: bool = False):
+              cascade):
+    # NOTE: Morton/octant ray sorting before dispatch was measured twice
+    # (round 1 and round 2) and is a dead end on this hardware: neutral on
+    # HBM-resident tables (0.56 vs 0.58 Mrays/s @5.2M tris) and HARMFUL on
+    # cache-resident ones (3.0 vs 3.7) — the XLA row gather is per-row
+    # latency-bound, not inter-lane-locality-bound (BASELINE.md).
     R = ro.shape[0]
     if cascade and R > _CHUNK_RAYS and R % _CHUNK_RAYS == 0:
         n = R // _CHUNK_RAYS
@@ -548,7 +572,7 @@ def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
         def chunk(args):
             o, d, tm = args
             return _traverse_cascade(nodes, leaf_rows, o, d, tm, any_hit,
-                                     max_stack, fused=fused)
+                                     max_stack)
 
         hit = jax.lax.map(chunk, (ro.reshape(n, _CHUNK_RAYS, 3),
                                   rd.reshape(n, _CHUNK_RAYS, 3),
@@ -557,18 +581,16 @@ def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
                    u=hit.u.reshape(R), v=hit.v.reshape(R))
     if cascade and R >= _CASCADE_MIN_RAYS:
         return _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit,
-                                 max_stack, fused=fused)
-    return _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
-                     fused=fused)
+                                 max_stack)
+    return _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack)
 
 
-@partial(jax.jit, static_argnames=("max_stack", "cascade", "fused"))
+@partial(jax.jit, static_argnames=("max_stack", "cascade"))
 def closest_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
                           max_stack: int = MAX_STACK,
-                          cascade: bool = True,
-                          fused: bool = False) -> Hit:
+                          cascade: bool = True) -> Hit:
     return _dispatch(nodes, leaf_rows, ro, rd, t_max, False, max_stack,
-                     cascade, fused=fused)
+                     cascade)
 
 
 @partial(jax.jit, static_argnames=("max_stack", "cascade"))
@@ -604,7 +626,7 @@ def mixed_hit_wavefront(nodes, leaf_rows, ro, rd, t_max, is_any,
                 keep, drop = perm[:half], perm[half:]
                 retired.append(tuple(st[k][drop] for k in
                                      ("orig", "t", "tri", "u", "v")))
-                st = {k: a[keep] for k, a in st.items()}
+                st = _take(st, keep)
                 size = half
             st = _run_stage(unified, L, C, "mixed", st, 0)
             retired.append(tuple(st[k] for k in
@@ -627,12 +649,11 @@ def mixed_hit_wavefront(nodes, leaf_rows, ro, rd, t_max, is_any,
     return run(ro, rd, t_max, is_any)
 
 
-@partial(jax.jit, static_argnames=("max_stack", "cascade", "fused"))
+@partial(jax.jit, static_argnames=("max_stack", "cascade"))
 def any_hit_wavefront(nodes, leaf_rows, ro, rd, t_max,
-                      max_stack: int = MAX_STACK, cascade: bool = True,
-                      fused: bool = False):
+                      max_stack: int = MAX_STACK, cascade: bool = True):
     hit = _dispatch(nodes, leaf_rows, ro, rd, t_max, True, max_stack,
-                    cascade, fused=fused)
+                    cascade)
     return hit.tri >= 0
 
 
@@ -655,9 +676,9 @@ def _step_transmit(unified, tint, L, C, st):
     R = ro.shape[0]
 
     pop = (hits == 0) & (sp > 0)
-    hits = jnp.where(pop, st["phits"][:, 0], hits)
-    chim = jnp.where(pop, st["pchim"][:, 0], chim)
-    bleaf = jnp.where(pop, st["pbleaf"][:, 0], bleaf)
+    hits = jnp.where(pop, st["phits"][0], hits)
+    chim = jnp.where(pop, st["pchim"][0], chim)
+    bleaf = jnp.where(pop, st["pbleaf"][0], bleaf)
     sp = sp - pop.astype(jnp.int32)
 
     leaf_bits = hits & LEAF_MASK
@@ -683,8 +704,9 @@ def _step_transmit(unified, tint, L, C, st):
     row_idx = jnp.where(leaf_lane, C + lrow, jnp.where(descend, child, 0))
     row = unified[row_idx]
 
-    tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
-    tcol = lambda k: tripf[:, k]
+    # one shared u32 transpose (see _step)
+    ucol = _row_cols(row)
+    tcol = lambda k: jax.lax.bitcast_convert_type(ucol(k), jnp.float32)
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     T = tint.shape[0]
@@ -693,7 +715,7 @@ def _step_transmit(unified, tint, L, C, st):
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
-        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
+        tri_id = jax.lax.bitcast_convert_type(ucol(27 + j), jnp.int32)
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
         pvz = rdx * e2y - rdy * e2x
@@ -720,13 +742,12 @@ def _step_transmit(unified, tint, L, C, st):
     for key, saved in (("phits", rest), ("pchim", chim),
                        ("pbleaf", bleaf)):
         plane = st[key]
-        based = jnp.where(pop[:, None], _shift_pop(plane), plane)
+        based = jnp.where(pop[None, :], _shift_pop(plane), plane)
         pushed = _shift_push(based, saved.astype(plane.dtype))
-        st[key] = jnp.where(push[:, None], pushed, based)
+        st[key] = jnp.where(push[None, :], pushed, based)
     sp = sp + push.astype(jnp.int32)
 
-    c_hits, c_chim, c_bleaf = _decode_rows_to_group(row, ro, rd,
-                                                    inv_rd, t_max)
+    c_hits, c_chim, c_bleaf = _decode_cols(ucol, R, ro, rd, inv_rd, t_max)
     hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
     chim = jnp.where(descend, c_chim, chim)
     bleaf = jnp.where(descend, c_bleaf, bleaf)

@@ -262,6 +262,13 @@ class Scene:
     lcut_of_light: Optional[Any] = None      # [L] i32 light -> cut entry
     lcut_skip: Optional[Any] = None          # [L] i32 trail bits above cut
 
+    # exact CWBVH depth bound from the builder (+1 margin): sizes the
+    # wavefront traversal's shift-register stack planes, whose per-
+    # iteration shuffle cost scales with this (ablation in BASELINE.md).
+    # Static (compile-time) — a scene rebuild with a different depth
+    # retraces, a refit (same topology) does not.
+    cw_stack: int = struct.field(pytree_node=False, default=16)
+
     def n_tris(self) -> int:
         return self.tri_p0.shape[0]
 

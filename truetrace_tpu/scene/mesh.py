@@ -228,10 +228,12 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         cw_nodes = jnp.asarray(nodes2)
         cw_tri_index = jnp.asarray(cw.tri_index)
         cw_leaf_rows = jnp.asarray(rows)
+        cw_stack = int(cw.depth) + 1
     else:
         cw_nodes = jnp.zeros((0, 20), jnp.uint32)
         cw_tri_index = jnp.zeros((0,), jnp.int32)
         cw_leaf_rows = jnp.zeros((0, 30), jnp.float32)
+        cw_stack = 16
 
     light_tris = _emissive_light_tris(tris, mats)
 
@@ -313,5 +315,6 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lbvh_trail=lbvh_trail, lbvh_pairs=lbvh_pairs,
         lbvh_pair_children=lbvh_pair_children, terrain=terrain,
         tri_shadow=shadow_tint_table(mats, tris["mat"]),
+        cw_stack=cw_stack,
         **lcut,
     )
