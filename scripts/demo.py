@@ -185,6 +185,40 @@ def main():
     print(f"terrain: {time.time()-t0:.1f}s", flush=True)
     save("terrain_matcap.png", img, exposure=1.4)
 
+    # 5. Twilight: sun below the horizon — the sky is lit ONLY by the
+    # multi-scatter LUT (Psi_ms afterglow) with the procedural star field
+    # above; emissive spheres carry the foreground (showcases the
+    # Hillaire/Bruneton pipeline + night-sky helpers)
+    env5 = bake_sky_env(sun_dir=(0.0, -0.05, 1.0), sun_irradiance=40.0,
+                        sun_disk_intensity=0.0, stars=60.0,
+                        h=128, w=256)
+    sv5, si5, _ = uv_sphere(16, 24, radius=0.5)
+    mats5 = [
+        HostMaterial(base_color=(0.25, 0.25, 0.28), roughness=0.8),
+        HostMaterial(base_color=(1, 1, 1), emission=(8.0, 5.0, 2.0)),
+        HostMaterial(base_color=(0.9, 0.9, 0.95), metallic=1.0,
+                     roughness=0.15),
+    ]
+    fl = np.array([[-7, 0, -7], [7, 0, -7], [7, 0, 7], [-7, 0, 7]],
+                  np.float32)
+    fi = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    meshes5 = [
+        HostMesh(fl, fi, np.zeros(len(fi), np.int32)),
+        HostMesh(transform(sv5, translate=(-1.2, 0.5, 0.0)), si5,
+                 np.full(len(si5), 1, np.int32)),
+        HostMesh(transform(sv5, translate=(1.2, 0.5, -0.6)), si5,
+                 np.full(len(si5), 2, np.int32)),
+    ]
+    scene5 = compile_scene(meshes5, mats5, env=env5, with_cwbvh=True)
+    cam5 = Camera.look_at(eye=(0, 1.2, 5.5), target=(0, 0.6, 0),
+                          fov_y_deg=55)
+    cfg5 = RenderConfig(width=res, height=res // 2 * 2, bounces=3,
+                        bsdf="disney", traversal="wavefront")
+    t0 = time.time()
+    img = render_chunked(scene5, cam5, cfg5, spp)
+    print(f"twilight: {time.time()-t0:.1f}s", flush=True)
+    save("twilight_stars.png", img, exposure=6.0)
+
 
 if __name__ == "__main__":
     main()

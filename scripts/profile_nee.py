@@ -25,13 +25,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args):
+def timed(fn, *args, n1: int = 1, n2: int = 3):
+    """Marginal-slope timing (see scripts/profile_frame.py)."""
+    def sync(r):
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+
     r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
+    sync(r)
     t0 = time.perf_counter()
-    r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])
-    return time.perf_counter() - t0, r
+    for _ in range(n1):
+        r = fn(*args)
+    sync(r)
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        r = fn(*args)
+    sync(r)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n2 - n1), r
 
 
 def main():

@@ -119,3 +119,35 @@ def test_local_sun_angle_used():
     # toward the sun: local sun elevation rises along the ray (lit sooner,
     # brighter even beyond the phase asymmetry) — require a LARGE margin
     assert Lt.sum() > 3.0 * La.sum(), (Lt.sum(), La.sum())
+
+
+def test_star_field_and_night_bake():
+    """Procedural stars (reference night-sky helpers,
+    CommonData.cginc:1228-1382): sparse, deterministic, uniform density on
+    the sphere; baked skies show them only at twilight/night."""
+    from truetrace_tpu.build.env_cdf import star_field
+    from truetrace_tpu.scene.atmosphere import build_luts
+
+    sf = star_field(128, 256, density=0.004, seed=7)
+    assert (sf >= 0).all() and np.isfinite(sf).all()
+    n_stars = int((sf.sum(-1) > 0).sum())
+    assert 30 < n_stars < 400, n_stars
+    np.testing.assert_array_equal(sf, star_field(128, 256, density=0.004,
+                                                 seed=7))
+    # uniform on the sphere: poles (texel-dense) hold FEWER star texels
+    mid = (sf[48:80].sum(-1) > 0).mean()
+    pole = (sf[:16].sum(-1) > 0).mean()
+    assert mid > pole
+
+    luts = build_luts()
+    env_day = bake_sky_env(sun_dir=(0.3, 0.6, 0.2), h=128, w=256,
+                           luts=luts, stars=40.0)
+    env_night = bake_sky_env(sun_dir=(0.3, -0.4, 0.2), h=128, w=256,
+                             luts=luts, stars=40.0, sun_disk_intensity=0.0)
+    day = np.asarray(env_day.image)
+    night = np.asarray(env_night.image)
+    # daytime: no visible stars (fade = 0); night: upper hemisphere has
+    # bright isolated texels against a dark sky
+    assert day[:56].max() < 1e4     # only the sun disk is brighter
+    top = night[:56]
+    assert top.max() > 20.0 * max(float(np.median(top)), 1e-6)

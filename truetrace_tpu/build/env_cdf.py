@@ -64,3 +64,27 @@ def procedural_sky(h: int = 128, w: int = 256, sun_dir=(0.3, 0.6, 0.2),
     img = img + (cos_sun > sun_cos)[..., None] * np.asarray(
         [sun_intensity, sun_intensity * 0.95, sun_intensity * 0.85])
     return img.astype(np.float32)
+
+
+def star_field(h: int = 128, w: int = 256, density: float = 0.004,
+               brightness: float = 40.0, seed: int = 7) -> np.ndarray:
+    """Procedural star field (counterpart of the reference's hash-based
+    star helpers in its procedural night sky, CommonData.cginc:1228-1382):
+    a sparse set of texels becomes stars with a power-law brightness
+    distribution and slight blue/yellow temperature variation, weighted by
+    sin(theta) so star DENSITY is uniform on the sphere (equirect texels
+    shrink toward the poles). Deterministic per seed."""
+    rng = np.random.default_rng(seed)
+    ys = (np.arange(h) + 0.5) / h
+    sin_t = np.sin(np.pi * ys)[:, None]                  # [h,1]
+    u = rng.random((h, w))
+    is_star = u < density * sin_t
+    mag = rng.random((h, w)) ** 8.0                      # few bright stars
+    temp = rng.random((h, w))                            # color variation
+    r = 0.8 + 0.4 * temp
+    b = 1.2 - 0.4 * temp
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = is_star * mag * r * brightness
+    img[..., 1] = is_star * mag * brightness
+    img[..., 2] = is_star * mag * b * brightness
+    return img

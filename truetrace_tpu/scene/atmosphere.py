@@ -375,11 +375,15 @@ def bake_sky_env(sun_dir=(0.3, 0.4, 0.2), h: int = 64, w: int = 128,
                  sun_irradiance: float = 20.0,
                  sun_disk_intensity: float = 5e3,
                  sun_cos: float = 0.9999,
-                 luts: AtmosphereLUTs = None):
+                 luts: AtmosphereLUTs = None,
+                 stars: float = 0.0):
     """Bake an equirect EnvMap (with importance CDFs) from the atmosphere.
     Returns truetrace_tpu.scene.ir.EnvMap. Pass `luts` to reuse a bake
-    across sun positions (time-of-day sweeps)."""
-    from truetrace_tpu.build.env_cdf import build_env_cdf
+    across sun positions (time-of-day sweeps). stars > 0 adds the
+    procedural star field (reference night-sky helpers,
+    CommonData.cginc:1228-1382), faded in as the sun sets and occluded
+    below the horizon."""
+    from truetrace_tpu.build.env_cdf import build_env_cdf, star_field
     sd = np.asarray(sun_dir, np.float64)
     sd /= np.linalg.norm(sd)
     sd_j = jnp.asarray(sd, jnp.float32)
@@ -403,5 +407,11 @@ def bake_sky_env(sun_dir=(0.3, 0.4, 0.2), h: int = 64, w: int = 128,
     L = L + ((cos_sun > sun_cos) & above)[..., None] * t_sun \
         * sun_disk_intensity
     img = np.asarray(L.reshape(h, w, 3))
+    if stars > 0.0:
+        # stars fade in over the last ~5 degrees of sun elevation and are
+        # attenuated by the sky's own brightness (daylight washes them out)
+        fade = float(np.clip(0.5 - sd[1] / 0.17, 0.0, 1.0))
+        above = (np.asarray(d[:, 1]).reshape(h, w) > 0.0)[..., None]
+        img = img + star_field(h, w, brightness=stars) * fade * above
     img = np.maximum(img, 0.0)
     return build_env_cdf(img)
