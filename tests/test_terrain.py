@@ -132,3 +132,56 @@ def test_render_with_terrain():
     # the quad shadows the terrain directly beneath it: centre of the image
     # (below the quad) must be darker than the terrain far corner
     assert img[16, 16, 1] < img[2, 2, 1] * 3.0  # sanity (not fully dark: env)
+
+
+def test_scatter_on_terrain():
+    """Terrain detail scattering (reference DetailedObjectInstance,
+    TerrainObject.cs:14): instances sit ON the heightfield, avoid steep
+    slopes, and render through the instancing stack."""
+    import numpy as np
+
+    from truetrace_tpu.scene.terrain import scatter_on_terrain
+
+    hm = demo_hills(65, seed=2)
+    origin = (-8.0, 0.0, -8.0)
+    size = (16.0, 16.0)
+    hs = 2.0
+    inst = scatter_on_terrain(hm, origin, size, height_scale=hs, n=24,
+                              seed=3, max_slope=0.8)
+    assert len(inst) == 24
+    hmw = np.asarray(hm, np.float64) * hs
+    for sid, m in inst:
+        assert sid == 0
+        x, y, z = m[3, :3]
+        assert -8.0 <= x <= 8.0 and -8.0 <= z <= 8.0
+        # y matches the bilinear terrain height at (x, z)
+        u = (x - origin[0]) / size[0]
+        v = (z - origin[2]) / size[1]
+        fx, fz = u * (hm.shape[1] - 1), v * (hm.shape[0] - 1)
+        x0, z0 = min(int(fx), hm.shape[1] - 2), min(int(fz), hm.shape[0] - 2)
+        tx, tz = fx - x0, fz - z0
+        h = ((1 - tx) * (1 - tz) * hmw[z0, x0] + tx * (1 - tz) * hmw[z0, x0 + 1]
+             + (1 - tx) * tz * hmw[z0 + 1, x0] + tx * tz * hmw[z0 + 1, x0 + 1])
+        assert abs(y - h) < 1e-6, (y, h)
+
+    # end-to-end: scattered boxes over the terrain render via the TLAS
+    from truetrace_tpu.integrate.pathtrace import RenderConfig, render
+    from truetrace_tpu.scene.instances import compile_scene_instanced
+    from truetrace_tpu.scene.ir import Camera, EnvMap
+    from truetrace_tpu.scene.mesh import HostMaterial, HostMesh
+
+    c = np.array([[x, y, z] for x in (-.2, .2) for y in (0, .8)
+                  for z in (-.2, .2)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    tree = HostMesh(c, f, np.zeros(12, np.int32))
+    mats = [HostMaterial(base_color=(0.2, 0.5, 0.2))]
+    scene, _ = compile_scene_instanced([tree], mats, inst[:8],
+                                       env=EnvMap.constant((1, 1, 1)))
+    cam = Camera.look_at(eye=(0, 8, 14), target=(0, 1, 0), fov_y_deg=50)
+    img = np.asarray(render(scene, cam,
+                            RenderConfig(width=16, height=16, bounces=2,
+                                         bsdf="lambert", traversal="tlas"),
+                            spp=4))
+    assert np.isfinite(img).all() and img.mean() > 0.0

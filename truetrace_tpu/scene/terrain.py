@@ -76,3 +76,52 @@ def demo_hills(n: int = 129, seed: int = 0) -> np.ndarray:
         amp *= 0.45
     h -= h.min()
     return (h / max(h.max(), 1e-6)).astype(np.float32)
+
+
+def scatter_on_terrain(heightmap: np.ndarray, origin, size_xz,
+                       height_scale: float = 1.0, n: int = 64,
+                       source_id: int = 0, seed: int = 0,
+                       max_slope: float = 0.6,
+                       scale_range=(0.8, 1.3)) -> list:
+    """Scatter instance transforms over a heightfield — the counterpart of
+    the reference's terrain detail prefabs / heightmap trees
+    (Objects/TerrainObject.cs DetailedObjectInstance.ExportObjects:14,
+    consumed by the instancing stack). Rejection-samples uniform xz
+    positions, reads the bilinear terrain height, skips slopes steeper
+    than `max_slope` (rise per unit run), and yields
+    (source_id, l2w 4x4) pairs with random yaw + scale jitter — ready for
+    scene/instances.compile_scene_instanced or AssetManager.add_instance.
+    """
+    from truetrace_tpu.scene.instances import make_transform
+    hm = np.asarray(heightmap, np.float64) * float(height_scale)
+    Hm, Wm = hm.shape
+    org = np.asarray(origin, np.float64)
+    sx, sz = float(size_xz[0]), float(size_xz[1])
+    rng = np.random.default_rng(seed)
+    out = []
+    tries = 0
+    while len(out) < n and tries < 20 * n:
+        tries += 1
+        u, v = rng.random(2)
+        # bilinear height + central-difference slope at (u, v)
+        fx = u * (Wm - 1)
+        fz = v * (Hm - 1)
+        x0 = min(int(fx), Wm - 2)
+        z0 = min(int(fz), Hm - 2)
+        tx = fx - x0
+        tz = fz - z0
+        h = ((1 - tx) * (1 - tz) * hm[z0, x0]
+             + tx * (1 - tz) * hm[z0, x0 + 1]
+             + (1 - tx) * tz * hm[z0 + 1, x0]
+             + tx * tz * hm[z0 + 1, x0 + 1])
+        dhdx = (hm[z0, x0 + 1] - hm[z0, x0]) / (sx / (Wm - 1))
+        dhdz = (hm[z0 + 1, x0] - hm[z0, x0]) / (sz / (Hm - 1))
+        if np.hypot(dhdx, dhdz) > max_slope:
+            continue
+        pos = (org[0] + u * sx, org[1] + h, org[2] + v * sz)
+        s = rng.uniform(*scale_range)
+        out.append((source_id,
+                    make_transform(translate=pos,
+                                   rot_y=rng.uniform(0, 2 * np.pi),
+                                   scale=s)))
+    return out
