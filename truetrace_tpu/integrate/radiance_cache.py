@@ -93,11 +93,22 @@ def _probe_slots(capacity: int, slot_hash):
                      axis=-1)                        # [N,P]
 
 
-def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
-    """Batch insert: radiance [N,3], weight [N] (0 = skip). One scatter-add
-    per array. Probe order per record: key match > empty > stale resident
-    > drop (bounded linear probing)."""
+def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight,
+                 max_unique: int = 0):
+    """Batch insert: radiance [N,3], weight [N] (0 = skip). Probe order
+    per record: key match > empty > stale resident > drop (bounded linear
+    probing).
+
+    Row scatter is the expensive primitive on TPU (~28 ns/row issued,
+    BASELINE.md), so records are COALESCED first: sort by target slot
+    (free), segmented run totals via cumsum + running-max of run bases
+    (valid because all accumulated quantities are >= 0), then one
+    scatter row per UNIQUE slot. max_unique > 0 additionally caps the
+    issued rows at a static budget (ranked by weight; overflow records
+    drop — benign, the cache converges over frames). Measured: the
+    uncoalesced version cost ~600 ms/frame at 262k x 8 records."""
     C = cache.capacity
+    N = slot_hash.shape[0]
     slots = _probe_slots(C, slot_hash)               # [N,P]
     live = weight > 0.0
 
@@ -117,19 +128,53 @@ def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
     match = picked_score == 0
     claim = live & (picked_score > 0) & (picked_score < 3)
     use = live & (match | claim)
+    idx = jnp.where(use, slot, C)                    # C = dropped
 
-    # claimed slots are reset before accumulation
-    claim_idx = jnp.where(claim, slot, C)           # out-of-range = dropped
-    reset = jnp.zeros_like(cache.count).at[claim_idx].add(
+    # ---- coalesce: sort by slot, fold each run into its LAST element
+    order = jnp.argsort(idx)
+    idx_s = idx[order]
+    key_s = key[order]                               # u32, kept exact
+    vals = jnp.concatenate([radiance * weight[..., None],
+                            weight[:, None],
+                            claim.astype(jnp.float32)[:, None]], axis=-1)
+    vals = vals[order]                               # [N,5]
+    is_first = jnp.concatenate([jnp.ones((1,), bool),
+                                idx_s[1:] != idx_s[:-1]])
+    is_last = jnp.concatenate([idx_s[:-1] != idx_s[1:],
+                               jnp.ones((1,), bool)])
+    S = jnp.cumsum(vals, axis=0)                     # rad(3)+w+claim
+    S_prev = jnp.concatenate([jnp.zeros((1, 5)), S[:-1]], axis=0)
+    # base of the current run = S just before its first element; all
+    # summed quantities are >= 0 so S is monotone and a running max of
+    # first-element bases broadcasts them across each run
+    base = jax.lax.cummax(jnp.where(is_first[:, None], S_prev, -jnp.inf),
+                          axis=0)
+    tot = S - base                                   # valid at is_last
+    key_run = key_s                                  # any key of the run
+
+    emit = is_last & (idx_s < C)
+    if max_unique and max_unique < N:
+        # keep the heaviest max_unique runs (rank by run weight; free sort)
+        rank = jnp.argsort(jnp.where(emit, -tot[:, 3], jnp.inf))
+        keep = rank[:max_unique]
+        out_idx = jnp.where(emit[keep], idx_s[keep], C)
+        out_tot = tot[keep]
+        out_key = key_run[keep]
+    else:
+        out_idx = jnp.where(emit, idx_s, C)
+        out_tot = tot
+        out_key = key_run
+
+    reset = jnp.zeros_like(cache.count).at[
+        jnp.where(out_tot[:, 4] > 0.0, out_idx, C)].add(
         1.0, mode="drop") > 0
     count = jnp.where(reset, 0.0, cache.count)
     rad = jnp.where(reset[:, None], 0.0, cache.rad)
 
-    idx = jnp.where(use, slot, C)
-    rad = rad.at[idx].add(radiance * weight[..., None], mode="drop")
-    count = count.at[idx].add(weight, mode="drop")
-    touched = jnp.zeros_like(count).at[idx].add(1.0, mode="drop") > 0
-    keyarr = cache.key.at[idx].set(key, mode="drop")
+    rad = rad.at[out_idx].add(out_tot[:, :3], mode="drop")
+    count = count.at[out_idx].add(out_tot[:, 3], mode="drop")
+    touched = jnp.zeros_like(count).at[out_idx].add(1.0, mode="drop") > 0
+    keyarr = cache.key.at[out_idx].set(out_key, mode="drop")
     age = jnp.where(touched, 0.0, cache.age)
     return RadianceCache(key=keyarr, rad=rad, count=count, age=age)
 
@@ -181,7 +226,10 @@ def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
     # flatten [R,B] records into one batch insert
     flat = lambda a: a.reshape((-1,) + a.shape[2:])
     w = flat(live).astype(jnp.float32)
+    # scatter budget: one row per pixel — unique cells rarely exceed the
+    # pixel count, and overflow inserts just land on a later frame
     cache = cache_update(cache, flat(st["cache_hash"]),
                          flat(st["cache_key"]),
-                         jnp.clip(flat(L), 0.0, 1e4), w)
+                         jnp.clip(flat(L), 0.0, 1e4), w,
+                         max_unique=radiance.shape[0])
     return radiance, st, cache
