@@ -93,22 +93,20 @@ def _probe_slots(capacity: int, slot_hash):
                      axis=-1)                        # [N,P]
 
 
-def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight,
-                 max_unique: int = 0):
-    """Batch insert: radiance [N,3], weight [N] (0 = skip). Probe order
-    per record: key match > empty > stale resident > drop (bounded linear
-    probing).
+def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
+    """Batch insert: radiance [N,3], weight [N] (0 = skip). One scatter-add
+    per array. Probe order per record: key match > empty > stale resident
+    > drop (bounded linear probing).
 
-    Row scatter is the expensive primitive on TPU (~28 ns/row issued,
-    BASELINE.md), so records are COALESCED first: sort by target slot
-    (free), segmented run totals via cumsum + running-max of run bases
-    (valid because all accumulated quantities are >= 0), then one
-    scatter row per UNIQUE slot. max_unique > 0 additionally caps the
-    issued rows at a static budget (ranked by weight; overflow records
-    drop — benign, the cache converges over frames). Measured: the
-    uncoalesced version cost ~600 ms/frame at 262k x 8 records."""
+    Keep N bounded (~one record per pixel): row scatter costs ~28 ns per
+    ISSUED row on TPU, and the segmented-coalescing alternative (sort by
+    slot + cumsum run totals) was measured WORSE — argsort/cumsum/cummax
+    at 2M rows cost 300-400 ms on v5e. Callers with per-bounce records
+    should insert a rotating SUBSET per frame instead
+    (render_sample_cached) — the cache accumulates across frames, exactly
+    like the reference's per-frame bounded insert loop
+    (CommonData.cginc:1661-1700)."""
     C = cache.capacity
-    N = slot_hash.shape[0]
     slots = _probe_slots(C, slot_hash)               # [N,P]
     live = weight > 0.0
 
@@ -128,53 +126,19 @@ def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight,
     match = picked_score == 0
     claim = live & (picked_score > 0) & (picked_score < 3)
     use = live & (match | claim)
-    idx = jnp.where(use, slot, C)                    # C = dropped
 
-    # ---- coalesce: sort by slot, fold each run into its LAST element
-    order = jnp.argsort(idx)
-    idx_s = idx[order]
-    key_s = key[order]                               # u32, kept exact
-    vals = jnp.concatenate([radiance * weight[..., None],
-                            weight[:, None],
-                            claim.astype(jnp.float32)[:, None]], axis=-1)
-    vals = vals[order]                               # [N,5]
-    is_first = jnp.concatenate([jnp.ones((1,), bool),
-                                idx_s[1:] != idx_s[:-1]])
-    is_last = jnp.concatenate([idx_s[:-1] != idx_s[1:],
-                               jnp.ones((1,), bool)])
-    S = jnp.cumsum(vals, axis=0)                     # rad(3)+w+claim
-    S_prev = jnp.concatenate([jnp.zeros((1, 5)), S[:-1]], axis=0)
-    # base of the current run = S just before its first element; all
-    # summed quantities are >= 0 so S is monotone and a running max of
-    # first-element bases broadcasts them across each run
-    base = jax.lax.cummax(jnp.where(is_first[:, None], S_prev, -jnp.inf),
-                          axis=0)
-    tot = S - base                                   # valid at is_last
-    key_run = key_s                                  # any key of the run
-
-    emit = is_last & (idx_s < C)
-    if max_unique and max_unique < N:
-        # keep the heaviest max_unique runs (rank by run weight; free sort)
-        rank = jnp.argsort(jnp.where(emit, -tot[:, 3], jnp.inf))
-        keep = rank[:max_unique]
-        out_idx = jnp.where(emit[keep], idx_s[keep], C)
-        out_tot = tot[keep]
-        out_key = key_run[keep]
-    else:
-        out_idx = jnp.where(emit, idx_s, C)
-        out_tot = tot
-        out_key = key_run
-
-    reset = jnp.zeros_like(cache.count).at[
-        jnp.where(out_tot[:, 4] > 0.0, out_idx, C)].add(
+    # claimed slots are reset before accumulation
+    claim_idx = jnp.where(claim, slot, C)           # out-of-range = dropped
+    reset = jnp.zeros_like(cache.count).at[claim_idx].add(
         1.0, mode="drop") > 0
     count = jnp.where(reset, 0.0, cache.count)
     rad = jnp.where(reset[:, None], 0.0, cache.rad)
 
-    rad = rad.at[out_idx].add(out_tot[:, :3], mode="drop")
-    count = count.at[out_idx].add(out_tot[:, 3], mode="drop")
-    touched = jnp.zeros_like(count).at[out_idx].add(1.0, mode="drop") > 0
-    keyarr = cache.key.at[out_idx].set(out_key, mode="drop")
+    idx = jnp.where(use, slot, C)
+    rad = rad.at[idx].add(radiance * weight[..., None], mode="drop")
+    count = count.at[idx].add(weight, mode="drop")
+    touched = jnp.zeros_like(count).at[idx].add(1.0, mode="drop") > 0
+    keyarr = cache.key.at[idx].set(key, mode="drop")
     age = jnp.where(touched, 0.0, cache.age)
     return RadianceCache(key=keyarr, rad=rad, count=count, age=age)
 
@@ -223,13 +187,19 @@ def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
     total = radiance[:, None, :]                      # [R,1,3]
     L = (total - st["cache_prefix"]) / jnp.maximum(st["cache_tp"], 1e-6)
     live = st["cache_live"]
-    # flatten [R,B] records into one batch insert
-    flat = lambda a: a.reshape((-1,) + a.shape[2:])
-    w = flat(live).astype(jnp.float32)
-    # scatter budget: one row per pixel — unique cells rarely exceed the
-    # pixel count, and overflow inserts just land on a later frame
-    cache = cache_update(cache, flat(st["cache_hash"]),
-                         flat(st["cache_key"]),
-                         jnp.clip(flat(L), 0.0, 1e4), w,
-                         max_unique=radiance.shape[0])
+    # STOCHASTIC ROTATION: insert only ONE bounce level per frame
+    # (sample_id % B), so scatter traffic stays at one row per pixel.
+    # The cache is a cross-frame accumulator — every level lands every B
+    # frames, matching the reference's bounded per-frame insert budget
+    # (CommonData.cginc:1661-1700). Inserting all R*B records per frame
+    # was measured at +600 ms (scatter rows) and coalescing them first
+    # at +400 ms (argsort/cumsum at 2M rows) — BASELINE.md round 2.
+    B = L.shape[1]
+    pick_b = (jnp.asarray(sample_id, jnp.uint32) % B).astype(jnp.int32)
+    sel = lambda a: jax.lax.dynamic_index_in_dim(a, pick_b, axis=1,
+                                                 keepdims=False)
+    cache = cache_update(cache, sel(st["cache_hash"]),
+                         sel(st["cache_key"]),
+                         jnp.clip(sel(L), 0.0, 1e4),
+                         sel(live).astype(jnp.float32))
     return radiance, st, cache
