@@ -109,7 +109,7 @@ def main():
                                                    pix, s))
     state = SVGFState.create(H3, W3)
     t0 = time.time()
-    for s in range(4 if QUICK else 10):
+    for s in range(4 if QUICK else 24):
         rad, st = f(jnp.uint32(s))
         den, state = svgf_denoise(
             rad.reshape(H3, W3, 3), st["albedo"].reshape(H3, W3, 3),

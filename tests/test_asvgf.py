@@ -78,9 +78,12 @@ def test_asvgf_adapts_faster_than_svgf(setup):
             s_state)
         a_means.append(float(np.asarray(out_a).mean()))
         s_means.append(float(np.asarray(out_s).mean()))
-    # two frames after the switch: ASVGF must be closer to the target
-    lag_a = abs(a_means[7] - target)
-    lag_s = abs(s_means[7] - target)
+    # cumulative lag across the transition window (frames 5..7): the
+    # gradient-driven history cut must beat fixed-alpha integration.
+    # (A single late-frame comparison is unstable — plain SVGF catches up
+    # within a few frames once its history re-integrates.)
+    lag_a = sum(abs(a_means[i] - target) for i in (5, 6, 7))
+    lag_s = sum(abs(s_means[i] - target) for i in (5, 6, 7))
     assert lag_a < lag_s, (a_means, s_means, target)
 
 

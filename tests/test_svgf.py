@@ -99,3 +99,33 @@ def test_pallas_atrous_matches_xla():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_sparse_radiance_energy_preserved():
+    """Sparse-input energy preservation: with mostly-zero per-frame
+    radiance (hard indirect lighting — ~40% zero pixels is typical), the
+    filter must converge toward the true mean rather than blacken lone
+    lit pixels. Regression for the dark-speckle artifact: the firefly
+    clamp must act on the temporally INTEGRATED signal, and the variance
+    used by the edge-stopping must be 3x3-prefiltered so stable-zero
+    pixels can still borrow from lit neighbors (SVGF paper)."""
+    H = W = 64
+    rng = np.random.default_rng(0)
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[..., 2] = 1.0
+    normal = jnp.asarray(normal)
+    depth = jnp.full((H, W), 3.0)
+    albedo = jnp.full((H, W, 3), 0.7)
+    state = SVGFState.create(H, W)
+    p_lit = 0.05
+    mean_true = 1.0
+    for s in range(16):
+        hit = (rng.random((H, W)) < p_lit).astype(np.float32)
+        noisy = jnp.asarray(
+            np.repeat((hit * mean_true / p_lit)[..., None], 3, -1))
+        out, state = svgf_denoise(noisy, albedo, normal, depth, state)
+    o = np.asarray(out).mean(-1)
+    # energy within 40% of truth (the input-clamp bug produced ~0 here)
+    assert 0.6 * mean_true < o.mean() < 1.6 * mean_true, o.mean()
+    # and no blackened speckles: every pixel within a sane band
+    assert o.min() > 0.2 * o.mean(), (o.min(), o.mean())

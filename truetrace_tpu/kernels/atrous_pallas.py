@@ -44,7 +44,22 @@ def _kernel(step: int, c0_ref, c1_ref, c2_ref, var_ref, n0_ref, n1_ref,
     n2 = n2_ref[:]
     z = z_ref[:]
     lum = _luminance(c0, c1, c2)
-    sig_l = SIGMA_L * jnp.sqrt(jnp.maximum(var, 1e-10)) + 1e-8
+    # 3x3 Gaussian variance prefilter for the luminance sigma (SVGF paper;
+    # see post/svgf._var_prefilter3 — prevents stable-zero pixels from
+    # rejecting all neighbors and staying black)
+    H0, W0 = var.shape
+    var_w = jnp.zeros_like(var)
+    for pdy in (-1, 0, 1):
+        for pdx in (-1, 0, 1):
+            pk = (2.0 if pdy == 0 else 1.0) * (2.0 if pdx == 0 else 1.0)
+            v = var
+            if pdy:
+                v = pltpu.roll(v, pdy % H0, 0)
+            if pdx:
+                v = pltpu.roll(v, pdx % W0, 1)
+            var_w = var_w + v * pk
+    var_w = var_w * (1.0 / 16.0)
+    sig_l = SIGMA_L * jnp.sqrt(jnp.maximum(var_w, 1e-10)) + 1e-8
     sig_z = SIGMA_Z * abs(step) * (jnp.abs(z) * 0.02 + 1e-2) + 1e-8
 
     H, W = c0.shape

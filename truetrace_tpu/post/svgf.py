@@ -69,8 +69,24 @@ def _edge_weights(normal, depth, lum, var, dy, dx, step):
 _K1D = (1 / 16, 1 / 4, 3 / 8, 1 / 4, 1 / 16)
 
 
+def _var_prefilter3(var):
+    """3x3 Gaussian prefilter of the variance used for the luminance
+    edge-stopping sigma (the original SVGF paper's variance prefilter):
+    without it a stable-zero pixel has var ~ 0, rejects every bright
+    neighbor and stays black forever — the dark-speckle artifact."""
+    acc = jnp.zeros_like(var)
+    wsum = 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            k = (2.0 if dy == 0 else 1.0) * (2.0 if dx == 0 else 1.0)
+            acc = acc + _shift(var, dy, dx) * k
+            wsum += k
+    return acc / wsum
+
+
 def _atrous_pass(color, var, normal, depth, step: int):
     lum = luminance(color)
+    var_w = _var_prefilter3(var)
     acc_c = jnp.zeros_like(color)
     acc_v = jnp.zeros_like(var)
     acc_w = jnp.zeros_like(var)
@@ -79,7 +95,7 @@ def _atrous_pass(color, var, normal, depth, step: int):
             dy = (i - 2) * step
             dx = (j - 2) * step
             k = ky * kx
-            w = _edge_weights(normal, depth, lum, var, dy, dx, step) * k
+            w = _edge_weights(normal, depth, lum, var_w, dy, dx, step) * k
             if dy == 0 and dx == 0:
                 w = jnp.full_like(w, k)
             acc_c = acc_c + _shift(color, dy, dx) * w[..., None]
@@ -110,18 +126,6 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     # (specular on dark surfaces) ~1000x into single-pixel speckles; the
     # re-modulation below uses the same floor so the round trip is exact
     demod = noisy / jnp.maximum(albedo, 0.05)
-    # RCRS clamp on the filter INPUT (reference runs FireFlyPass around
-    # its filters): the normalized bilateral a-trous otherwise DUPLICATES
-    # single-pixel spike energy into every neighbor that accepts it,
-    # inflating the mean ~3x whenever history resets (measured)
-    nmax = None
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            n = _shift(demod, dy, dx)
-            nmax = n if nmax is None else jnp.maximum(nmax, n)
-    demod = jnp.minimum(demod, nmax * 3.0 + 1e-3)
     lum = luminance(demod)
 
     # ---- temporal reprojection + validity (normal/depth similarity gate,
@@ -162,6 +166,29 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     moments_t = jnp.where(valid[..., None],
                           prev_moments + a_m[..., None] * (mom - prev_moments),
                           mom)
+
+    # RCRS firefly clamp on the TEMPORALLY INTEGRATED signal (reference
+    # runs FireFlyPass around its filters): the normalized bilateral
+    # a-trous otherwise DUPLICATES single-pixel spike energy into every
+    # neighbor that accepts it, inflating the mean ~3x whenever history
+    # resets (measured). Clamping the raw INPUT instead was measured to
+    # blacken sparse-radiance regions: with ~40% zero-radiance pixels per
+    # frame (hard indirect scenes), a lone lit pixel among zero neighbors
+    # lost its energy BEFORE temporal integration, leaving permanent dark
+    # speckles. It is additionally gated on SHORT history (< 4 frames):
+    # at steady state the temporal mean is the unbiased estimate and
+    # clamping it against neighbors re-introduced an energy loss on
+    # sparse signals (measured: a p=0.05 spike field converged to 0.48x
+    # its true mean with an ungated clamp — tests/test_svgf.py).
+    nmax = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = _shift(color_t, dy, dx)
+            nmax = n if nmax is None else jnp.maximum(nmax, n)
+    color_t = jnp.where((hist_len < 4.0)[..., None],
+                        jnp.minimum(color_t, nmax * 3.0 + 1e-3), color_t)
 
     # variance: temporal when history is long enough, else 7x7 spatial
     var_t = jnp.maximum(moments_t[..., 1] - moments_t[..., 0] ** 2, 0.0)
