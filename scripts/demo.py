@@ -181,7 +181,9 @@ def main():
                           fov_y_deg=45)
     cfg4 = RenderConfig(width=res, height=res, bounces=3, bsdf="disney")
     t0 = time.time()
-    img = render_chunked(scene4, cam4, cfg4, max(spp // 2, 8))
+    # heightmap marching makes each sample expensive: small chunks keep
+    # every device call short (long calls kill the axon tunnel, CLAUDE.md)
+    img = render_chunked(scene4, cam4, cfg4, max(spp // 2, 8), chunk=6)
     print(f"terrain: {time.time()-t0:.1f}s", flush=True)
     save("terrain_matcap.png", img, exposure=1.4)
 
@@ -215,7 +217,7 @@ def main():
     cfg5 = RenderConfig(width=res, height=res // 2 * 2, bounces=3,
                         bsdf="disney", traversal="wavefront")
     t0 = time.time()
-    img = render_chunked(scene5, cam5, cfg5, spp)
+    img = render_chunked(scene5, cam5, cfg5, spp, chunk=12)
     print(f"twilight: {time.time()-t0:.1f}s", flush=True)
     save("twilight_stars.png", img, exposure=6.0)
 
