@@ -73,6 +73,20 @@ class RenderConfig:
     # one NEE component to attribute frame cost (scripts/profile_nee.py).
     # Renders are BIASED with a non-empty value — never use for output.
     debug_nee: str = struct.field(pytree_node=False, default="")
+    # fuse the per-bounce NEE shadow flush into the NEXT bounce's trace
+    # dispatch (kernels/cwbvh_wavefront.py mixed_hit_wavefront): bounce
+    # b's shadow rays ride bounce b+1's occupancy cascade, halving the
+    # dispatch count (the reference instead runs separate kernel_trace /
+    # kernel_shadow indirect dispatches, RayTracingMaster.cs:968,996).
+    # Applies only where it is exact: wavefront traversal over an
+    # all-opaque scene with no terrain. Radiance is bitwise identical to
+    # the unfused path (same visibility, same add order). MEASURED SLOWER
+    # on v5e and therefore default-off: 759 vs 674 ms on the 512^2 x 4
+    # atrium frame (scripts/tune_fused.py) and 3.39 vs 3.61 Mrays/s on
+    # the mixed-ray microbench (scripts/tune_mixed.py) — shadow lanes in
+    # a lock-step mixed chunk stretch the closest-hit lanes' cascade
+    # stages more than a dedicated early-out any-hit dispatch costs.
+    fuse_nee: bool = struct.field(pytree_node=False, default=False)
 
 
 def gather_material(materials, mid):
@@ -423,6 +437,13 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     n_shadow = jnp.zeros((), jnp.float32)
     use_tree = (cfg.light_sampling == "tree"
                 and scene.lbvh_pairs.shape[0] > 0)
+    # pending NEE shadow rays (fused dispatch, see RenderConfig.fuse_nee):
+    # generated at bounce b, resolved inside bounce b+1's mixed trace
+    s_ro = jnp.zeros((R, 3), jnp.float32)
+    s_rd = jnp.zeros((R, 3), jnp.float32)
+    s_rd = s_rd.at[:, 2].set(1.0)
+    s_tmax = jnp.zeros((R,), jnp.float32)       # 0 = no pending ray
+    s_contrib = jnp.zeros((R, 3), jnp.float32)
 
     # NEE strategy mix (reference picks a light group per shade:
     # RayTracingShader.compute:328-344): mesh emitters / env map / analytic
@@ -432,15 +453,55 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     n_groups = (int(has_mesh) + int(has_env_tex and cfg.use_nee)
                 + int(has_analytic)) if cfg.use_nee else 0
     p_group = 1.0 / n_groups if n_groups else 1.0
+    # fused NEE applies only where the mixed dispatch is exact: binary
+    # visibility (all-opaque, no terrain) on the single-BLAS wavefront
+    fused = (cfg.fuse_nee and cfg.use_nee and n_groups > 0
+             and cfg.traversal == "wavefront"
+             and scene.tri_shadow is None and scene.terrain is None
+             and cfg.debug_nee != "noshadow")
 
     def bounce(b, state):
         (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
          g_albedo, g_normal, g_depth, cone_w, cone_s,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
          c_hash, c_key, c_prefix, c_tp, c_live,
-         n_trace, n_shadow, r_emit0, n_cq, n_ch) = state
+         n_trace, n_shadow, r_emit0, n_cq, n_ch,
+         s_ro, s_rd, s_tmax, s_contrib) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
-        hit, inst = _trace(scene, ro, rd, cfg, alive=alive)
+        if fused:
+            # ONE mixed dispatch: this bounce's closest-hit rays
+            # interleaved with the PREVIOUS bounce's pending NEE shadow
+            # rays (any-hit lanes early-out; the occupancy cascade
+            # compacts fast-retiring shadow lanes against closest-hit
+            # stragglers). Adding the resolved NEE contribution here —
+            # before this bounce's env/emissive adds — preserves the
+            # unfused addition order exactly.
+            from truetrace_tpu.kernels.cwbvh_wavefront import (
+                mixed_hit_wavefront)
+            ro2 = jnp.stack([ro, s_ro], 1).reshape(2 * R, 3)
+            rd2 = jnp.stack([rd, s_rd], 1).reshape(2 * R, 3)
+            tm2 = jnp.stack([jnp.where(alive, T_MAX, 0.0), s_tmax],
+                            1).reshape(2 * R)
+            af2 = jnp.stack([jnp.zeros((R,), bool), jnp.ones((R,), bool)],
+                            1).reshape(2 * R)
+            h2 = mixed_hit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
+                                     ro2, rd2, tm2, af2,
+                                     max_stack=scene.cw_stack)
+            h2 = jax.tree_util.tree_map(jax.lax.stop_gradient, h2)
+            hit = Hit(t=h2.t.reshape(R, 2)[:, 0],
+                      tri=h2.tri.reshape(R, 2)[:, 0],
+                      u=h2.u.reshape(R, 2)[:, 0],
+                      v=h2.v.reshape(R, 2)[:, 0])
+            inst = jnp.full((R,), -1, jnp.int32)
+            s_vis = (h2.tri.reshape(R, 2)[:, 1] < 0) & (s_tmax > 0.0)
+            radiance = radiance + jnp.where(s_vis[..., None],
+                                            s_contrib, 0.0)
+            if cfg.restir_capture:
+                # bounce-0 NEE resolves here (top of bounce 1): radiance
+                # now equals the unfused end-of-bounce-0 direct snapshot
+                r_direct = jnp.where(b == 1, radiance, r_direct)
+        else:
+            hit, inst = _trace(scene, ro, rd, cfg, alive=alive)
         # detached estimator: traversal is not differentiated — this also
         # keeps XLA from saving while-loop carries for backward (the
         # dominant backward-memory term; diff/render_grad.py)
@@ -616,6 +677,30 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 mat.metal_remap[:, 0] + mat.metallic
                 * (mat.metal_remap[:, 1] - mat.metal_remap[:, 0]),
                 0.0, 1.0))
+
+        # ---- glass interior transport (reference
+        # RayTracingShader.compute:278-281): a backface hit on a non-thin
+        # transmissive surface means the segment just traveled was INSIDE
+        # that dielectric — Beer-Lambert attenuation over hit.t with
+        # extinction from the apparent color (Materials.cginc:350
+        # CalculateExtinction; scatter_dist <= 0 is treated as 1), and
+        # the refraction eta inverts for the exit event. No carried
+        # medium state needed: closed glass guarantees the previous
+        # vertex was the entry face.
+        exiting = hit_ok & ~front & (mat.spec_trans > 0.0) & (mat.thin < 0.5)
+        app = jnp.clip(1.0 - mat.base_color, 0.0, 1.0)
+        s_ext = 1.9 - app + 3.5 * (app - 0.8) ** 2
+        sd = jnp.where(mat.scatter_dist <= 0.0, 1.0, mat.scatter_dist)
+        # deviation from the reference formula at app == 0 exactly: a
+        # perfectly white glass is treated as clear (sigma = 0) so the
+        # white furnace stays neutral; the reference would absorb at
+        # 1/(4.14 * dist) even for white glass
+        att = jnp.where(app <= 0.0, 1.0,
+                        jnp.exp(-hit.t[..., None] / (s_ext * sd[..., None])))
+        throughput = jnp.where(exiting[..., None], throughput * att,
+                               throughput)
+        mat = mat.replace(ior=jnp.where(
+            exiting, 1.0 / jnp.maximum(mat.ior, 1e-6), mat.ior))
 
         # ---- cutout alpha: stochastically pass straight through partial
         # surfaces (reference alpha-mapped any/closest-hit skips,
@@ -801,14 +886,22 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
             # non-candidate lanes shoot zero-length shadow rays: the
             # traversal cascade retires them in its first stage
-            if cfg.debug_nee == "noshadow":
+            if fused:
+                # defer: stash the shadow ray; the NEXT bounce's mixed
+                # trace resolves it (post-loop flush for the last bounce)
+                s_ro, s_rd = sro, wi_l
+                s_tmax = jnp.where(cand, dist_l - 2.0 * SHADOW_EPS, 0.0)
+                s_contrib = jnp.where(cand[..., None], contrib, 0.0)
+            elif cfg.debug_nee == "noshadow":
                 trans = jnp.ones((R, 3), jnp.float32)
+                radiance = radiance + jnp.where(cand[..., None],
+                                                contrib * trans, 0.0)
             else:
                 trans = jax.lax.stop_gradient(_transmission(
                     scene, sro, wi_l,
                     jnp.where(cand, dist_l - 2.0 * SHADOW_EPS, 0.0), cfg))
-            radiance = radiance + jnp.where(cand[..., None],
-                                            contrib * trans, 0.0)
+                radiance = radiance + jnp.where(cand[..., None],
+                                                contrib * trans, 0.0)
 
         # ---- BSDF sample / continue
         u_lobe = rng.uniform1(pixel, sid,
@@ -863,7 +956,8 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 g_albedo, g_normal, g_depth, cone_w, cone_s,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
                 c_hash, c_key, c_prefix, c_tp, c_live,
-                n_trace, n_shadow, r_emit0, n_cq, n_ch)
+                n_trace, n_shadow, r_emit0, n_cq, n_ch,
+                s_ro, s_rd, s_tmax, s_contrib)
 
     n_cq = jnp.zeros((), jnp.float32)   # cache queries attempted
     n_ch = jnp.zeros((), jnp.float32)   # cache hits taken
@@ -871,19 +965,32 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
              g_albedo, g_normal, g_depth, cone_w, cone_s,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
              c_hash, c_key, c_prefix, c_tp, c_live,
-             n_trace, n_shadow, r_emit0, n_cq, n_ch)
+             n_trace, n_shadow, r_emit0, n_cq, n_ch,
+             s_ro, s_rd, s_tmax, s_contrib)
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     state = jax.lax.fori_loop(0, cfg.bounces, body, state)
+    radiance = state[2]
+    direct = state[12]
+    if fused:
+        # flush the LAST bounce's pending shadow rays (one extra any-hit
+        # dispatch per frame instead of one per bounce)
+        s_ro_f, s_rd_f, s_tmax_f, s_contrib_f = state[30:34]
+        blocked = jax.lax.stop_gradient(
+            _occluded_mesh(scene, s_ro_f, s_rd_f, s_tmax_f, cfg))
+        s_vis = (~blocked) & (s_tmax_f > 0.0)
+        radiance = radiance + jnp.where(s_vis[..., None], s_contrib_f, 0.0)
+        if cfg.restir_capture and cfg.bounces == 1:
+            direct = radiance   # the b==1 snapshot never ran
     stats = {"n_trace": state[25], "n_shadow": state[26],
              "albedo": state[7], "normal": state[8], "depth": state[9],
              "emitted0": state[27],
              "cache_hit_rate": state[29] / jnp.maximum(state[28], 1.0)}
     if cfg.restir_capture:
         stats.update({
-            "direct": state[12], "x2": state[13], "n2": state[14],
+            "direct": direct, "x2": state[13], "n2": state[14],
             "tp1": state[15], "pdf1": state[16],
             "cand_valid": state[17], "x1": state[18], "mat1": state[19],
-            "indirect": state[2] - state[12],
+            "indirect": radiance - direct,
         })
     if cfg.cache_capture:
         stats.update({
@@ -891,7 +998,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             "cache_prefix": state[22], "cache_tp": state[23],
             "cache_live": state[24],
         })
-    return state[2], stats
+    return radiance, stats
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp"))

@@ -278,9 +278,21 @@ def _eval_local(mat, wo, wi):
 
     diel = (1.0 - mat.metallic) * (1.0 - mat.spec_trans)
     trans_w = (1.0 - mat.metallic) * mat.spec_trans
-    f = f_d * diel[..., None] + f_s + f_c + f_t * trans_w[..., None]
-    # transmission lobe reflects with probability fr(h): add that pdf mass
     fr_refl = _fresnel_dielectric(jnp.abs(dot(wo, h_refl)), eta)
+    # transmission lobe's Fresnel-REFLECT branch: untinted dielectric GGX
+    # reflection weighted by the exact dielectric Fresnel. Without this
+    # VALUE term the ~fr of energy the sampler routes to reflection at
+    # each glass interface evaluates to f=0 and dies (white furnace
+    # measured exactly (1-F)^2 = 0.9216 before the fix); the matching pdf
+    # mass was already accounted below (p_trans * fr_refl * pdf_s).
+    ax_t, ay_t = _alphas(mat)
+    refl_up = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0) & h_ok
+    den_r = jnp.maximum(4.0 * jnp.abs(wi[..., 2] * wo[..., 2]), 1e-6)
+    f_tr = jnp.where(refl_up,
+                     fr_refl * _ggx_d_aniso(h_refl, ax_t, ay_t)
+                     * _smith_g2_aniso(wo, wi, ax_t, ay_t) / den_r, 0.0)
+    f = (f_d * diel[..., None] + f_s + f_c + f_t * trans_w[..., None]
+         + f_tr[..., None] * trans_w[..., None])
     pdf = (p_diff * pdf_d + (p_spec + p_trans * fr_refl) * pdf_s
            + p_cc * pdf_c + p_trans * pdf_t)
     return f, pdf

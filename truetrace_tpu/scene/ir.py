@@ -69,6 +69,10 @@ class MaterialTable:
     blend_factor: jnp.ndarray     # [M] lerp(albedo, blend_color, f)
     rough_remap: jnp.ndarray      # [M,2] (lo,hi); (0,1) = identity
     metal_remap: jnp.ndarray      # [M,2]
+    # Beer-Lambert interior scatter distance for glass (reference
+    # scatterDistance, Materials.cginc:350 CalculateExtinction — 0 is
+    # treated as 1): extinction sigma = 1 / (s(1-base_color) * dist)
+    scatter_dist: jnp.ndarray     # [M]
 
     @staticmethod
     def make(n: int) -> "MaterialTable":
@@ -90,7 +94,7 @@ class MaterialTable:
             saturation=jnp.ones((n,), jnp.float32),
             contrast=jnp.ones((n,), jnp.float32),
             blend_color=f(3), blend_factor=f(),
-            rough_remap=remap01, metal_remap=remap01,
+            rough_remap=remap01, metal_remap=remap01, scatter_dist=f(),
             tex_albedo=i(), tex_normal=i(), tex_emission=i(),
             tex_rough_metal=i(), tex_matcap=i(),
         )

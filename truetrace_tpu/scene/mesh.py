@@ -61,6 +61,7 @@ class HostMaterial:
     blend_factor: float = 0.0
     rough_remap: tuple = (0.0, 1.0)
     metal_remap: tuple = (0.0, 1.0)
+    scatter_dist: float = 0.0              # glass interior scatter distance
     tex_albedo: int = -1
     tex_normal: int = -1
     tex_emission: int = -1
@@ -90,6 +91,7 @@ def material_table(mats: List[HostMaterial]) -> MaterialTable:
         saturation=col("saturation"), contrast=col("contrast"),
         blend_color=col("blend_color"), blend_factor=col("blend_factor"),
         rough_remap=col("rough_remap"), metal_remap=col("metal_remap"),
+        scatter_dist=col("scatter_dist"),
         tex_albedo=icol("tex_albedo"), tex_normal=icol("tex_normal"),
         tex_emission=icol("tex_emission"),
         tex_rough_metal=icol("tex_rough_metal"),
