@@ -286,13 +286,19 @@ def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
 def _transmission(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     """Shadow-ray transmittance [R,3]: binary visibility on all-opaque
     scenes (fast any-hit), per-surface tint product through cutout-alpha
-    and stained glass otherwise (reference CommonData.cginc:593-634;
-    StainedGlassShadows define). The two-level "tlas" path currently
-    falls back to binary occlusion (tinted instanced shadows TODO)."""
-    if scene.tri_shadow is None or cfg.traversal == "tlas":
+    and stained glass otherwise — on the single-BLAS wavefront AND the
+    two-level "tlas" path (reference handles instanced geometry in the
+    same any-hit, IntersectionKernels.compute:264-498;
+    CommonData.cginc:593-634 StainedGlassShadows)."""
+    if scene.tri_shadow is None:
         blocked = _occluded(scene, ro, rd, t_max, cfg)
         return jnp.where(blocked[..., None], 0.0, 1.0)
-    if cfg.traversal == "wavefront":
+    if cfg.traversal == "tlas":
+        from truetrace_tpu.kernels.cwbvh_tlas import transmit_tlas
+        tp = transmit_tlas(scene.cw_nodes, scene.cw_leaf_rows,
+                           scene.inst_rows, scene.tri_shadow, ro, rd,
+                           t_max)
+    elif cfg.traversal == "wavefront":
         from truetrace_tpu.kernels.cwbvh_wavefront import transmit_wavefront
         tp = transmit_wavefront(scene.cw_nodes, scene.cw_leaf_rows,
                                 scene.tri_shadow, ro, rd, t_max,
@@ -420,8 +426,8 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     # radiance-cache records (integrate/radiance_cache.py): one slot per
     # bounce — vertex cell, radiance prefix and throughput at entry
     B = cfg.bounces
-    c_hash = jnp.zeros((R, B), jnp.uint32)
-    c_key = jnp.zeros((R, B), jnp.uint32)
+    c_w0 = jnp.zeros((R, B), jnp.uint32)   # packed cache cell words
+    c_w1 = jnp.zeros((R, B), jnp.uint32)   # (radiance_cache._pack_cell)
     c_prefix = jnp.zeros((R, B, 3), jnp.float32)
     c_tp = jnp.zeros((R, B, 3), jnp.float32)
     c_live = jnp.zeros((R, B), bool)
@@ -464,7 +470,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
          g_albedo, g_normal, g_depth, cone_w, cone_s,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
-         c_hash, c_key, c_prefix, c_tp, c_live,
+         c_w0, c_w1, c_prefix, c_tp, c_live,
          n_trace, n_shadow, r_emit0, n_cq, n_ch,
          s_ro, s_rd, s_tmax, s_contrib) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
@@ -728,12 +734,12 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
 
         if cfg.cache_capture or cfg.cache_query_bounce >= 0:
             from truetrace_tpu.integrate.radiance_cache import (
-                cache_cell, cache_query)
+                cache_cell_packed, cache_query)
         if cfg.cache_capture:
             # record the vertex cell + entry prefix/throughput at bounce b
-            v_hash, v_key = cache_cell(p, sn, cam_pos)
-            c_hash = c_hash.at[:, b].set(jnp.where(hit_ok, v_hash, 0))
-            c_key = c_key.at[:, b].set(jnp.where(hit_ok, v_key, 0))
+            _, _, v_w0, v_w1 = cache_cell_packed(p, sn, cam_pos)
+            c_w0 = c_w0.at[:, b].set(jnp.where(hit_ok, v_w0, 0))
+            c_w1 = c_w1.at[:, b].set(jnp.where(hit_ok, v_w1, 0))
             c_prefix = c_prefix.at[:, b].set(radiance)
             c_tp = c_tp.at[:, b].set(throughput)
             c_live = c_live.at[:, b].set(hit_ok)
@@ -955,7 +961,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         return (ro, rd, radiance, throughput, alive, prev_pdf, sn,
                 g_albedo, g_normal, g_depth, cone_w, cone_s,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
-                c_hash, c_key, c_prefix, c_tp, c_live,
+                c_w0, c_w1, c_prefix, c_tp, c_live,
                 n_trace, n_shadow, r_emit0, n_cq, n_ch,
                 s_ro, s_rd, s_tmax, s_contrib)
 
@@ -964,7 +970,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     state = (ro, rd, radiance, throughput, alive, prev_pdf, prev_n,
              g_albedo, g_normal, g_depth, cone_w, cone_s,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
-             c_hash, c_key, c_prefix, c_tp, c_live,
+             c_w0, c_w1, c_prefix, c_tp, c_live,
              n_trace, n_shadow, r_emit0, n_cq, n_ch,
              s_ro, s_rd, s_tmax, s_contrib)
     body = jax.checkpoint(bounce) if cfg.remat else bounce
@@ -994,7 +1000,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         })
     if cfg.cache_capture:
         stats.update({
-            "cache_hash": state[20], "cache_key": state[21],
+            "cache_w0": state[20], "cache_w1": state[21],
             "cache_prefix": state[22], "cache_tp": state[23],
             "cache_live": state[24],
         })

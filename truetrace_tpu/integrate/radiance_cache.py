@@ -41,13 +41,21 @@ class RadianceCache(NamedTuple):
     rad: jnp.ndarray     # [C,3] accumulated radiance * count
     count: jnp.ndarray   # [C]
     age: jnp.ndarray     # [C] frames since last touch
+    # packed cell identity (grid coords + level + normal octant, see
+    # _pack_cell) — lets cache_resolve reproject entries across camera
+    # motion like the reference's 2-word HashKeyValue
+    # (CommonData.cginc:1509-1530 CompressHash)
+    cellw0: jnp.ndarray  # [C] uint32
+    cellw1: jnp.ndarray  # [C] uint32
 
     @staticmethod
     def create(capacity: int = 1 << 20) -> "RadianceCache":
         return RadianceCache(key=jnp.zeros((capacity,), U32),
                              rad=jnp.zeros((capacity, 3), jnp.float32),
                              count=jnp.zeros((capacity,), jnp.float32),
-                             age=jnp.zeros((capacity,), jnp.float32))
+                             age=jnp.zeros((capacity,), jnp.float32),
+                             cellw0=jnp.zeros((capacity,), U32),
+                             cellw1=jnp.zeros((capacity,), U32))
 
     @property
     def capacity(self) -> int:
@@ -64,24 +72,68 @@ def _hash_u32(x):
     return x
 
 
+def _level_of(d):
+    return jnp.clip(jnp.floor(jnp.log2(jnp.maximum(d / LEVEL_DIST, 1.0))),
+                    0, 12).astype(jnp.int32)
+
+
+def _cell_hash(c, level, oct_n):
+    h = _hash_u32(c[..., 0].astype(U32)
+                  ^ (_hash_u32(c[..., 1].astype(U32)) << 1)
+                  ^ (_hash_u32(c[..., 2].astype(U32)) << 2)
+                  ^ (level.astype(U32) << 27) ^ (oct_n.astype(U32) << 23))
+    return h, h | U32(1)      # key never 0 (0 = empty slot)
+
+
+def _pack_cell(c, level, oct_n):
+    """Pack grid coords (signed 17 bits/axis) + level (10) + octant (3)
+    into two u32 words — the reference's CompressHash layout
+    (CommonData.cginc:1509-1530)."""
+    m17 = U32((1 << 17) - 1)
+    cx = c[..., 0].astype(U32) & m17
+    cy = c[..., 1].astype(U32) & m17
+    cz = c[..., 2].astype(U32) & m17
+    w0 = cx | (cy << 17)                       # y low 15 bits in w0[17:32]
+    w1 = ((cy >> 15) | (cz << 2) | (level.astype(U32) << 19)
+          | (oct_n.astype(U32) << 29))
+    return w0, w1
+
+
+def _unpack_cell(w0, w1):
+    neg = jnp.int32(1 << 16)
+    m17 = U32((1 << 17) - 1)
+    cx = (w0 & m17).astype(jnp.int32)
+    cy = (((w1 << 15) | (w0 >> 17)) & m17).astype(jnp.int32)
+    cz = ((w1 >> 2) & m17).astype(jnp.int32)
+    sext = lambda v: jnp.where((v & neg) != 0, v | jnp.int32(~((1 << 17) - 1)),
+                               v)
+    c = jnp.stack([sext(cx), sext(cy), sext(cz)], axis=-1)
+    level = ((w1 >> 19) & U32(0x3FF)).astype(jnp.int32)
+    oct_n = (w1 >> 29).astype(jnp.int32)
+    return c, level, oct_n
+
+
 def cache_cell(pos, normal, cam_pos):
     """(slot hash, key tag) for a shading point. Level = log2 of camera
     distance (SHaRC's perspective voxel sizing); key folds in the cell
     coords, level and the normal octant."""
+    h, key, _, _ = cache_cell_packed(pos, normal, cam_pos)
+    return h, key
+
+
+def cache_cell_packed(pos, normal, cam_pos):
+    """(slot hash, key tag, packed cell w0, w1) — the packed words are
+    stored per entry so cache_resolve can reproject across camera moves."""
     d = jnp.linalg.norm(pos - cam_pos, axis=-1)
-    level = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(d / LEVEL_DIST, 1.0))),
-                     0, 12).astype(jnp.int32)
+    level = _level_of(d)
     cell_size = BASE_CELL * jnp.exp2(level.astype(jnp.float32))
     c = jnp.floor(pos / cell_size[..., None]).astype(jnp.int32)
     oct_n = ((normal[..., 0] > 0).astype(jnp.int32)
              | ((normal[..., 1] > 0).astype(jnp.int32) << 1)
              | ((normal[..., 2] > 0).astype(jnp.int32) << 2))
-    h = _hash_u32(c[..., 0].astype(U32)
-                  ^ (_hash_u32(c[..., 1].astype(U32)) << 1)
-                  ^ (_hash_u32(c[..., 2].astype(U32)) << 2)
-                  ^ (level.astype(U32) << 27) ^ (oct_n.astype(U32) << 23))
-    key = h | U32(1)          # never 0 (0 = empty slot)
-    return h, key
+    h, key = _cell_hash(c, level, oct_n)
+    w0, w1 = _pack_cell(c, level, oct_n)
+    return h, key, w0, w1
 
 
 N_PROBES = 4
@@ -93,7 +145,8 @@ def _probe_slots(capacity: int, slot_hash):
                      axis=-1)                        # [N,P]
 
 
-def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
+def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight,
+                 w0=None, w1=None):
     """Batch insert: radiance [N,3], weight [N] (0 = skip). One scatter-add
     per array. Probe order per record: key match > empty > stale resident
     > drop (bounded linear probing).
@@ -140,7 +193,13 @@ def cache_update(cache: RadianceCache, slot_hash, key, radiance, weight):
     touched = jnp.zeros_like(count).at[idx].add(1.0, mode="drop") > 0
     keyarr = cache.key.at[idx].set(key, mode="drop")
     age = jnp.where(touched, 0.0, cache.age)
-    return RadianceCache(key=keyarr, rad=rad, count=count, age=age)
+    if w0 is None:
+        cw0, cw1 = cache.cellw0, cache.cellw1
+    else:
+        cw0 = cache.cellw0.at[idx].set(w0, mode="drop")
+        cw1 = cache.cellw1.at[idx].set(w1, mode="drop")
+    return RadianceCache(key=keyarr, rad=rad, count=count, age=age,
+                         cellw0=cw0, cellw1=cw1)
 
 
 def cache_query(cache: RadianceCache, pos, normal, cam_pos):
@@ -159,16 +218,53 @@ def cache_query(cache: RadianceCache, pos, normal, cam_pos):
 
 
 def cache_resolve(cache: RadianceCache, decay: float = 0.98,
-                  count_cap: float = 256.0) -> RadianceCache:
-    """Per-frame maintenance (reference CacheResolve): age entries, decay
-    accumulators so the cache tracks dynamic lighting, cap counts."""
+                  count_cap: float = 256.0, cam_pos=None,
+                  prev_cam_pos=None) -> RadianceCache:
+    """Per-frame maintenance (reference CacheResolve,
+    RayGenKernels.compute:273-358): age entries, decay accumulators so
+    the cache tracks dynamic lighting, cap counts.
+
+    When cam_pos/prev_cam_pos are given AND differ, additionally runs the
+    camera-motion REPROJECTION merge (reference GetReprojectedHash,
+    CommonData.cginc:1764 + the sidelined-voxel pull,
+    RayGenKernels.compute:290-300): every young entry whose cell had a
+    DIFFERENT distance level under the previous camera inherits the
+    accumulated (radiance, count) of that previous-level entry, so
+    confidence survives the level churn instead of cold-starting. Pure
+    vectorized gather-merge over the table — callers should skip the
+    cam args when the camera did not move (saves the pass)."""
     scale = jnp.where(cache.count > count_cap,
                       count_cap / jnp.maximum(cache.count, 1e-6), 1.0)
     scale = scale * decay
-    return RadianceCache(key=cache.key,
-                         rad=cache.rad * scale[:, None],
-                         count=cache.count * scale,
-                         age=cache.age + 1.0)
+    rad = cache.rad * scale[:, None]
+    count = cache.count * scale
+    if cam_pos is not None and prev_cam_pos is not None:
+        c, level, oct_n = _unpack_cell(cache.cellw0, cache.cellw1)
+        cell_size = BASE_CELL * jnp.exp2(level.astype(jnp.float32))
+        center = (c.astype(jnp.float32) + 0.5) * cell_size[:, None]
+        lev_prev = _level_of(jnp.linalg.norm(
+            center - jnp.asarray(prev_cam_pos, jnp.float32), axis=-1))
+        occupied = cache.key != 0
+        # only pull into YOUNG entries (count below confidence x2): they
+        # are the cold-started ones, and the gate stops repeated pulls
+        # from double-counting a still-live source
+        young = occupied & (count < 2.0 * CONFIDENT_COUNT) \
+            & (lev_prev != level)
+        size_prev = BASE_CELL * jnp.exp2(lev_prev.astype(jnp.float32))
+        c_prev = jnp.floor(center / size_prev[:, None]).astype(jnp.int32)
+        h_src, key_src = _cell_hash(c_prev, lev_prev, oct_n)
+        slots = _probe_slots(cache.capacity, h_src)          # [C,P]
+        ok_p = (cache.key[slots] == key_src[:, None]) \
+            & (cache.count[slots] >= CONFIDENT_COUNT)
+        pick = jnp.argmax(ok_p, axis=-1)
+        nn = jnp.arange(slots.shape[0])
+        src = slots[nn, pick]
+        pull = young & ok_p[nn, pick] & (src != nn)
+        rad = rad + jnp.where(pull[:, None], rad[src], 0.0)
+        count = count + jnp.where(pull, count[src], 0.0)
+    return RadianceCache(key=cache.key, rad=rad, count=count,
+                         age=cache.age + 1.0,
+                         cellw0=cache.cellw0, cellw1=cache.cellw1)
 
 
 def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
@@ -198,8 +294,8 @@ def render_sample_cached(scene, cam, cfg, cache: RadianceCache, pixel,
     pick_b = (jnp.asarray(sample_id, jnp.uint32) % B).astype(jnp.int32)
     sel = lambda a: jax.lax.dynamic_index_in_dim(a, pick_b, axis=1,
                                                  keepdims=False)
-    cache = cache_update(cache, sel(st["cache_hash"]),
-                         sel(st["cache_key"]),
-                         jnp.clip(sel(L), 0.0, 1e4),
-                         sel(live).astype(jnp.float32))
+    w0, w1 = sel(st["cache_w0"]), sel(st["cache_w1"])
+    h, key = _cell_hash(*_unpack_cell(w0, w1))
+    cache = cache_update(cache, h, key, jnp.clip(sel(L), 0.0, 1e4),
+                         sel(live).astype(jnp.float32), w0=w0, w1=w1)
     return radiance, st, cache

@@ -270,6 +270,181 @@ def _step(unified, C, L, I, any_hit, st):
                 t=t_best, tri=tri_best, u=u_best, v=v_best)
 
 
+def _step_transmit(unified, tint, C, L, I, st):
+    """Transmittance variant of _step (reference shadow any-hit through
+    instanced cutout/stained glass, IntersectionKernels.compute:264-498 +
+    CommonData.cginc:593-634): every triangle crossed before t_max
+    multiplies the lane's RGB throughput by its shadow tint (tint [T,3]
+    indexed by GLOBAL tri id — instances share their source BLAS rows);
+    t is never shortened, lanes retire at ~zero throughput."""
+    ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
+    hits, chim, bleaf, sp = st["hits"], st["chim"], st["bleaf"], st["sp"]
+    t_best = st["t"]
+    tpr, tpg, tpb = st["tpr"], st["tpg"], st["tpb"]
+    scale, ret_sp = st["scale"], st["ret_sp"]
+    in_blas = ret_sp >= 0
+    T = tint.shape[0]
+
+    pop = (hits == 0) & (sp > 0)
+    hits = jnp.where(pop, st["phits"][0], hits)
+    chim = jnp.where(pop, st["pchim"][0], chim)
+    bleaf = jnp.where(pop, st["pbleaf"][0], bleaf)
+    sp = sp - pop.astype(jnp.int32)
+    leave = pop & in_blas & (sp < ret_sp)
+    ro = jnp.where(leave[:, None], st["ro_w"], ro)
+    rd = jnp.where(leave[:, None], st["rd_w"], rd)
+    inv_w, oct_w = _ray_derived(st["rd_w"])
+    inv_rd = jnp.where(leave[:, None], inv_w, inv_rd)
+    oct_key = jnp.where(leave, oct_w, oct_key)
+    scale = jnp.where(leave, 1.0, scale)
+    ret_sp = jnp.where(leave, -1, ret_sp)
+    in_blas = ret_sp >= 0
+
+    leaf_bits = hits & LEAF_MASK
+    node_bits = hits >> 24
+    active = hits != 0
+    leaf_lane = active & (leaf_bits != 0)
+    descend = active & ~leaf_lane
+    enter_lane = leaf_lane & ~in_blas
+    tri_lane = leaf_lane & in_blas
+
+    lsb = leaf_bits & (~leaf_bits + U32(1))
+    leafmask = bleaf >> 24
+    lrank = jax.lax.population_count(leafmask & (lsb - U32(1))
+                                     ).astype(jnp.int32)
+    lbase = (bleaf & PTR_MASK).astype(jnp.int32) + lrank
+    lrow = jnp.clip(lbase, 0, max(L - 1, 0))
+    irow = jnp.clip(lbase, 0, I - 1)
+
+    slot, node_rest = _extract_slot(node_bits, oct_key)
+    imask = chim >> 24
+    below = imask & ((U32(1) << slot.astype(U32)) - U32(1))
+    rank = jax.lax.population_count(below).astype(jnp.int32)
+    child = jnp.clip((chim & PTR_MASK).astype(jnp.int32) + rank, 0, C - 1)
+
+    row_idx = jnp.where(tri_lane, C + lrow,
+                        jnp.where(enter_lane, C + L + irow,
+                                  jnp.where(descend, child, 0)))
+    row = unified[row_idx]
+
+    tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
+    tcol = lambda k: tripf[:, k]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    t_loc = t_best * scale
+    for j in range(3):
+        b = 9 * j
+        p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
+        e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
+        e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
+        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
+        pvx = rdy * e2z - rdz * e2y
+        pvy = rdz * e2x - rdx * e2z
+        pvz = rdx * e2y - rdy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+        th = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok = (tri_lane & (tri_id >= 0) & (u >= 0) & (v >= 0)
+              & (u + v <= 1) & (th > 1e-4) & (th < t_loc)
+              & (jnp.abs(det) > 1e-12))
+        trow = tint[jnp.clip(tri_id, 0, T - 1)]
+        tpr = jnp.where(ok, tpr * trow[:, 0], tpr)
+        tpg = jnp.where(ok, tpg * trow[:, 1], tpg)
+        tpb = jnp.where(ok, tpb * trow[:, 2], tpb)
+    hits_after_leaf = hits & ~lsb
+
+    icolf = [tripf[:, k] for k in range(12)]
+    blas_root = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
+    lox, loy, loz = _xform(icolf, rox, roy, roz, True)
+    ldx, ldy, ldz = _xform(icolf, rdx, rdy, rdz, False)
+    lscale = jnp.sqrt(jnp.maximum(ldx * ldx + ldy * ldy + ldz * ldz,
+                                  1e-20))
+    ldx, ldy, ldz = ldx / lscale, ldy / lscale, ldz / lscale
+    ro_l = jnp.stack([lox, loy, loz], axis=-1)
+    rd_l = jnp.stack([ldx, ldy, ldz], axis=-1)
+
+    rest_desc = node_rest << 24
+    rest_enter = hits_after_leaf
+    push_desc = descend & (node_rest != 0)
+    push_enter = enter_lane & (rest_enter != 0)
+    push = push_desc | push_enter
+    saved_hits = jnp.where(enter_lane, rest_enter, rest_desc)
+    for key, saved in (("phits", saved_hits), ("pchim", chim),
+                       ("pbleaf", bleaf)):
+        plane = st[key]
+        based = jnp.where(pop[None, :], _shift_pop(plane), plane)
+        pushed = _shift_push(based, saved.astype(plane.dtype))
+        st[key] = jnp.where(push[None, :], pushed, based)
+    sp = sp + push.astype(jnp.int32)
+
+    ro = jnp.where(enter_lane[:, None], ro_l, ro)
+    rd = jnp.where(enter_lane[:, None], rd_l, rd)
+    inv_l, oct_l = _ray_derived(rd_l)
+    inv_rd = jnp.where(enter_lane[:, None], inv_l, inv_rd)
+    oct_key = jnp.where(enter_lane, oct_l, oct_key)
+    scale = jnp.where(enter_lane, lscale, scale)
+    ret_sp = jnp.where(enter_lane, sp, ret_sp)
+
+    c_hits, c_chim, c_bleaf = _decode_rows_to_group(
+        row, ro, rd, inv_rd, t_best * scale)
+    enter_hits = U32(1) << 24
+    enter_chim = (blas_root.astype(U32) & PTR_MASK) | (U32(1) << 24)
+    hits = jnp.where(descend, c_hits,
+                     jnp.where(enter_lane, enter_hits,
+                               jnp.where(tri_lane, hits_after_leaf, hits)))
+    chim = jnp.where(descend, c_chim,
+                     jnp.where(enter_lane, enter_chim, chim))
+    bleaf = jnp.where(descend, c_bleaf,
+                      jnp.where(enter_lane, U32(0), bleaf))
+
+    opaque = jnp.maximum(jnp.maximum(tpr, tpg), tpb) < 1e-3
+    hits = jnp.where(opaque, U32(0), hits)
+    sp = jnp.where(opaque, 0, sp)
+
+    return dict(st, ro=ro, rd=rd, inv=inv_rd, oct=oct_key, scale=scale,
+                ret_sp=ret_sp, hits=hits, chim=chim, bleaf=bleaf, sp=sp,
+                tpr=tpr, tpg=tpg, tpb=tpb)
+
+
+@partial(jax.jit, static_argnames=("max_stack",))
+def transmit_tlas(nodes, leaf_rows, inst_rows, tint, ro, rd, t_max,
+                  tlas_root=0, max_stack: int = MAX_STACK):
+    """Shadow transmittance [R,3] through the two-level structure:
+    product of per-triangle shadow tints of every surface crossed before
+    t_max (1 = clear, 0 = blocked). Deletes the old binary-occlusion
+    fallback for instanced scenes (pathtrace._transmission)."""
+    C, L, I = nodes.shape[0], leaf_rows.shape[0], inst_rows.shape[0]
+    exp = expand_nodes(nodes)
+    unified = jnp.concatenate(
+        [jnp.pad(exp, ((0, 0), (0, ROW_W - exp.shape[1]))),
+         jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32),
+         jax.lax.bitcast_convert_type(inst_rows, jnp.uint32)], axis=0)
+    st = _init_state(unified, ro, rd, t_max, tlas_root, max_stack)
+    R = ro.shape[0]
+    st = dict(st, tpr=jnp.ones((R,), jnp.float32),
+              tpg=jnp.ones((R,), jnp.float32),
+              tpb=jnp.ones((R,), jnp.float32))
+
+    def cond(c):
+        s, it = c
+        return jnp.any(_active(s)) & (it < _ITER_CAP)
+
+    def body(c):
+        s, it = c
+        return _step_transmit(unified, tint, C, L, I, s), it + 1
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    tp = jnp.stack([st["tpr"], st["tpg"], st["tpb"]], axis=-1)
+    return jnp.where(jnp.maximum(jnp.maximum(st["tpr"], st["tpg"]),
+                                 st["tpb"])[:, None] < 1e-3, 0.0, tp)
+
+
 _ITER_CAP = 65536
 
 

@@ -151,11 +151,13 @@ class Renderer:
         if scene is not None:
             self.scene = scene
             state = state._replace(accum=state.accum.reset())
+        cam_moved = False
         if cam is not None:
             import numpy as _np
             moved = not _np.allclose(_np.asarray(cam.c2w),
                                      _np.asarray(self.cam.c2w), atol=1e-7)
             self.cam = cam
+            cam_moved = moved
             if moved:
                 # camera moved: restart progressive accumulation (the
                 # reference's RunUpdate, RayTracingMaster.cs:375-392);
@@ -199,7 +201,15 @@ class Renderer:
             rad, st, cache = render_sample_cached(
                 self.scene, self.cam, rcfg, state.cache, pixel, sid,
                 di_sample=di_sample, jitter=jitter)
-            new["cache"] = cache_resolve(cache)
+            if cam_moved and state.prev_cam is not None:
+                # camera-motion reprojection merge: re-leveled cells
+                # inherit their previous-level accumulation (reference
+                # GetReprojectedHash, CommonData.cginc:1764)
+                new["cache"] = cache_resolve(
+                    cache, cam_pos=self.cam.c2w[3, :3],
+                    prev_cam_pos=state.prev_cam.c2w[3, :3])
+            else:
+                new["cache"] = cache_resolve(cache)
         else:
             rad, st = render_sample_with_stats(self.scene, self.cam, rcfg,
                                                pixel, sid,
