@@ -1,21 +1,26 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
 Metric (BASELINE.json north star): CWBVH traversal throughput in Mrays/s on
-a Sponza-class scene. Default scene: the sponza_like asset (~270k tris, a
+a Sponza-class scene. Headline scene: the sponza_like asset (~270k tris, a
 two-story arcaded atrium with curtains/banners/pots, scene/sponza_like.py)
 generated to disk as OBJ+MTL+textures and ingested through the REAL asset
 pipeline (obj_loader.load_obj_scene -> atlas -> compile_scene) — the
 reference repo ships only Sponza's .mtl/textures, not the mesh, and this
 environment has no network egress, so the classic scene itself cannot be
-downloaded. BENCH_SCENE=atrium restores the round-1 procedural atrium for
-continuity. The ray mix mirrors a 4-bounce path trace: 1/3 coherent
+downloaded. The ray mix mirrors a 4-bounce path trace: 1/3 coherent
 primary rays, 1/3 incoherent bounce rays (cosine-hemisphere from primary
 hits), 1/3 any-hit shadow rays.
 
-`vs_baseline` is the ratio against BASELINE_MRAYS — the first number
-recorded on this hardware (TPU v5e, round 1; see BASELINE.md). The
+Every run ALSO measures the round-1 procedural atrium (293k tris) as a
+pinned cross-round continuity metric (VERDICT r2 weak #3: the bench scene
+drifted between rounds; `vs_baseline` is only meaningful same-scene).
+`vs_baseline` is the atrium ratio against BASELINE_MRAYS — the first
+number recorded on this hardware (TPU v5e, round 1; BASELINE.md). The
 reference renderer publishes no Mrays/s figures (SURVEY.md section 6), so
 the baseline is our own first measurement and must only go up.
+
+Knobs: BENCH_RAYS (batch), BENCH_ITERS, BENCH_DETAIL (sponza detail;
+5 ~ 270k tris, 0 = skip sponza), BENCH_SCENE=atrium (atrium only).
 """
 import json
 import os
@@ -33,35 +38,13 @@ import numpy as np
 BASELINE_MRAYS = 0.344
 
 
-def main():
-    scene_kind = os.environ.get("BENCH_SCENE", "sponza_like")
-    # 64k-ray batches: measured sweet spot on v5e with the leaf-row table
-    # + occupancy cascade (see BASELINE.md)
-    R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
-
+def measure(scene, cam, R, iters):
     from truetrace_tpu.core import rng
+    from truetrace_tpu.core.math import sample_cosine_hemisphere, to_world
     from truetrace_tpu.kernels.cwbvh_wavefront import (
         any_hit_wavefront, closest_hit_wavefront)
     from truetrace_tpu.scene.ir import camera_rays
-    from truetrace_tpu.scene.mesh import compile_scene
 
-    if scene_kind == "atrium":
-        from truetrace_tpu.scene import atrium
-        detail = float(os.environ.get("BENCH_DETAIL", "1.5"))
-        meshes, mats, cam, env = atrium.make(detail=detail)
-        scene = compile_scene(meshes, mats, env=env, with_cwbvh=True)
-    else:
-        from truetrace_tpu.scene import sponza_like
-        detail = float(os.environ.get("BENCH_DETAIL", "5"))
-        meshes, mats, atlas, rects, level_y, cam, env = \
-            sponza_like.make(detail)
-        scene = compile_scene(meshes, mats, env=env, atlas=atlas,
-                              atlas_rects=rects, atlas_level_y=level_y,
-                              with_cwbvh=True)
-    n_tris = scene.n_tris()
-
-    # primary rays
     pix = jnp.arange(R, dtype=jnp.uint32)
     jit2 = rng.uniform2(pix, jnp.uint32(0), jnp.uint32(0))
     ro_p, rd_p = camera_rays(cam, 1 << 10, R >> 10,
@@ -71,26 +54,25 @@ def main():
     # hundreds of MB of constants into the HLO, which the remote-compile
     # path rejects for San-Miguel-scale scenes)
     closest_j = jax.jit(lambda nodes, rows, ro, rd: closest_hit_wavefront(
-        nodes, rows, ro, rd, jnp.float32(1e30)))
+        nodes, rows, ro, rd, jnp.float32(1e30),
+        max_stack=scene.cw_stack), static_argnums=())
     anyhit_j = jax.jit(lambda nodes, rows, ro, rd, tm: any_hit_wavefront(
-        nodes, rows, ro, rd, tm))
+        nodes, rows, ro, rd, tm, max_stack=scene.cw_stack))
     closest = lambda ro, rd: closest_j(scene.cw_nodes, scene.cw_leaf_rows,
                                        ro, rd)
-    anyhit = lambda ro, rd, tm: anyhit_j(scene.cw_nodes, scene.cw_leaf_rows,
-                                         ro, rd, tm)
+    anyhit = lambda ro, rd, tm: anyhit_j(scene.cw_nodes,
+                                         scene.cw_leaf_rows, ro, rd, tm)
 
-    # bounce-like incoherent rays: cosine directions from primary hit points
+    # bounce-like incoherent rays: cosine directions from primary hits
     h = closest(ro_p, rd_p)
     p_hit = ro_p + rd_p * h.t[:, None]
     u2 = rng.uniform2(pix, jnp.uint32(1), jnp.uint32(3))
-    from truetrace_tpu.core.math import sample_cosine_hemisphere, to_world
     gn = jnp.stack([jnp.zeros(R), jnp.ones(R), jnp.zeros(R)], -1)
     rd_b = to_world(gn, sample_cosine_hemisphere(u2))
     ro_b = p_hit + gn * 1e-3
     tm_b = jnp.full((R,), 25.0, jnp.float32)
 
-    # warmup / compile all three programs
-    jax.block_until_ready(closest(ro_b, rd_b).t)
+    jax.block_until_ready(closest(ro_b, rd_b).t)        # compile + upload
     jax.block_until_ready(anyhit(ro_b, rd_b, tm_b))
 
     total_rays = 0
@@ -102,22 +84,61 @@ def main():
         total_rays += 3 * R
     jax.block_until_ready((r1.t, r2.t, r3))
     dt = time.perf_counter() - t0
+    return total_rays / dt / 1e6, dt, total_rays
 
-    mrays = total_rays / dt / 1e6
-    print(json.dumps({
+
+def main():
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    scene_kind = os.environ.get("BENCH_SCENE", "both")
+    # 64k-ray batches: measured sweet spot on v5e with the leaf-row table
+    # + occupancy cascade (see BASELINE.md)
+    R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    detail_s = float(os.environ.get("BENCH_DETAIL", "5"))
+
+    # pinned continuity scene: the round-1 atrium at detail 1.5 (293k)
+    atrium_mrays = None
+    if scene_kind in ("both", "atrium"):
+        from truetrace_tpu.scene import atrium
+        meshes, mats, cam, env = atrium.make(
+            detail=float(os.environ.get("BENCH_ATRIUM_DETAIL", "1.5")))
+        sc = compile_scene(meshes, mats, env=env, with_cwbvh=True)
+        atrium_mrays, _, _ = measure(sc, cam, R, iters)
+        atrium_tris = sc.n_tris()
+        del sc
+
+    headline = atrium_mrays
+    n_tris = atrium_tris if atrium_mrays is not None else 0
+    dt = wall = 0.0
+    if scene_kind in ("both", "sponza_like") and detail_s > 0:
+        from truetrace_tpu.scene import sponza_like
+        meshes, mats, atlas, rects, level_y, cam, env = \
+            sponza_like.make(detail_s)
+        sc = compile_scene(meshes, mats, env=env, atlas=atlas,
+                           atlas_rects=rects, atlas_level_y=level_y,
+                           with_cwbvh=True)
+        headline, wall, total = measure(sc, cam, R, iters)
+        n_tris = sc.n_tris()
+
+    out = {
         "metric": "cwbvh_traversal_sponza_class",
-        "value": round(mrays, 3),
+        "value": round(headline, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        # cross-round continuity ratio: SAME-SCENE (atrium) vs the round-1
+        # first measurement
+        "vs_baseline": round((atrium_mrays or headline) / BASELINE_MRAYS, 3),
         "detail": {
             "scene_tris": int(n_tris),
             "rays_per_batch": R,
             "mix": "1/3 primary closest, 1/3 bounce closest, 1/3 shadow any-hit",
-            "total_rays_M": round(total_rays / 1e6, 2),
-            "wall_s": round(dt, 2),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    if atrium_mrays is not None:
+        out["detail"]["atrium_mrays"] = round(atrium_mrays, 3)
+        out["detail"]["atrium_tris"] = int(atrium_tris)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

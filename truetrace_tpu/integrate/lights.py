@@ -42,6 +42,23 @@ def sample_analytic(lights: AnalyticLights, p, u_sel, u2) -> AnalyticSample:
     ldir = normalize(lights.direction[idx])
     lrad = lights.radiance[idx]
     ext = lights.extent[idx]
+    soft = lights.softness[idx]
+    zr = lights.z_rot[idx] if lights.z_rot is not None \
+        else jnp.zeros_like(soft)
+
+    # --- soft shadows for delta lights (reference Softness,
+    # RayTracingShader.compute:361-375): point/spot positions jitter
+    # inside a ball of radius softness*0.1 — artistically biased
+    # penumbra exactly like the reference (no pdf term)
+    u_mag = (u2[..., 0] * 7919.0) % 1.0     # decorrelated magnitude
+    phi_s = 2.0 * jnp.pi * u2[..., 0]
+    ct_s = 2.0 * u2[..., 1] - 1.0
+    st_s = jnp.sqrt(jnp.maximum(1.0 - ct_s * ct_s, 0.0))
+    sphere = jnp.stack([st_s * jnp.cos(phi_s), st_s * jnp.sin(phi_s),
+                        ct_s], -1)
+    is_soft_pt = ((lt == LIGHT_POINT) | (lt == LIGHT_SPOT)) & (soft > 0.0)
+    lpos = jnp.where(is_soft_pt[..., None],
+                     lpos + sphere * (u_mag * soft * 0.1)[..., None], lpos)
 
     # --- point / spot: direction to position, inverse-square falloff
     to_l = lpos - p
@@ -57,14 +74,24 @@ def sample_analytic(lights: AnalyticLights, p, u_sel, u2) -> AnalyticSample:
                       / jnp.maximum(inner - outer, 1e-6), 0.0, 1.0)
     rad_spot = rad_point * (spot_w * spot_w)[..., None]
 
-    # --- directional: constant direction, "infinite" distance
-    wi_d = -ldir
+    # --- directional: constant direction, "infinite" distance; softness
+    # tilts the direction inside a disk of angular radius softness*0.01
+    # (reference RayTracingShader.compute:366-370)
+    t_ax, b_ax = onb(ldir)
+    r_sun = jnp.sqrt(u2[..., 0]) * soft * 0.01
+    phi_d = 2.0 * jnp.pi * u2[..., 1]
+    wi_d = normalize(-ldir + (r_sun * jnp.cos(phi_d))[..., None] * t_ax
+                     + (r_sun * jnp.sin(phi_d))[..., None] * b_ax)
     dist_d = jnp.full((R,), 1e30, jnp.float32)
 
-    # --- quad area light: sample the rectangle (center lpos, axes from ldir)
-    t_ax, b_ax = onb(ldir)
-    off = ((u2[..., 0:1] - 0.5) * 2.0 * ext[:, 0:1] * t_ax
-           + (u2[..., 1:2] - 0.5) * 2.0 * ext[:, 1:2] * b_ax)
+    # --- quad area light: sample the rectangle (center lpos, axes from
+    # ldir, rotated in-plane by z_rot — reference ZAxisRotation,
+    # CommonData.cginc:1826)
+    cz, sz = jnp.cos(zr), jnp.sin(zr)
+    ou = (u2[..., 0] - 0.5) * 2.0 * ext[:, 0]
+    ov = (u2[..., 1] - 0.5) * 2.0 * ext[:, 1]
+    ou, ov = cz * ou - sz * ov, sz * ou + cz * ov
+    off = ou[..., None] * t_ax + ov[..., None] * b_ax
     qpos = lpos + off
     to_q = qpos - p
     d2q = jnp.maximum(dot(to_q, to_q), 1e-8)

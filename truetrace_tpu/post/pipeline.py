@@ -106,6 +106,31 @@ def auto_exposure(img, key: float = 0.18):
     return img * (key / jnp.maximum(log_avg, 1e-6))
 
 
+def auto_exposure_temporal(img, prev_exposure, decay: float = 0.05,
+                           growth: float = 0.035):
+    """Histogram-median auto exposure adapted over time (reference
+    AutoExpose.compute: 256-bin log-luminance histogram -> median ->
+    key-remapped target -> asymmetric exponential adaptation, faster
+    down than up). Returns (scaled img, new exposure scalar). Pass
+    prev_exposure <= 0 for a cold start (jumps straight to target —
+    first frame has no history to adapt from)."""
+    L = jnp.maximum(luminance(img), 1e-8)
+    # 256 log-spaced bins (reference getBin: log(L)*12 + 220)
+    bins = jnp.clip((jnp.log(L * 12.0) * 12.0 + 220.0).astype(jnp.int32),
+                    0, 255)
+    pdf = jnp.zeros((256,), jnp.float32).at[bins.reshape(-1)].add(1.0)
+    cdf = jnp.cumsum(pdf)
+    # median bin: first bin whose CDF crosses half the pixel count
+    med_bin = jnp.argmax(cdf >= 0.5 * cdf[-1])
+    l_med = jnp.exp((med_bin.astype(jnp.float32) - 220.0) / 12.0) / 12.0
+    key_val = 1.5 - 2.0 / (2.0 + jnp.log10(l_med + 1.0))
+    target = key_val * 2.15 / jnp.clip(l_med, 7.5e-4, 50.0)
+    speed = jnp.where(target < prev_exposure, decay, growth)
+    adapted = prev_exposure + (target - prev_exposure) * speed
+    e_new = jnp.where(prev_exposure <= 0.0, target, adapted)
+    return img * e_new, e_new
+
+
 # ---------------------------------------------------------------------------
 # bloom (reference Bloom.compute down/up pyramid; here separable gaussian
 # pyramid with 3 octaves)
@@ -195,16 +220,24 @@ def sharpen_cas(img, amount: float = 0.3):
 # ---------------------------------------------------------------------------
 
 def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None,
-                motion: Optional[jnp.ndarray] = None):
+                motion: Optional[jnp.ndarray] = None,
+                exposure_state: Optional[jnp.ndarray] = None):
     """Linear HDR [H,W,3] -> display [H,W,3] in [0,1] (+ new TAA history).
 
     Order mirrors the reference's Render() tail
     (RayTracingMaster.cs:1132-1182): autoexpose → bloom → tonemap → TAA →
     sharpen → gamma. motion: [H,W,2] pixel offsets for TAA history
-    reprojection (None = static)."""
+    reprojection (None = static). exposure_state: scalar adapted
+    exposure from the previous frame — when given (and auto_expose is
+    on) the TEMPORAL histogram exposure runs instead of the instant
+    log-average, and the return grows a third element (new exposure)."""
     x = img * cfg.exposure
+    new_exposure = exposure_state
     if cfg.auto_expose:
-        x = auto_exposure(x)
+        if exposure_state is not None:
+            x, new_exposure = auto_exposure_temporal(x, exposure_state)
+        else:
+            x = auto_exposure(x)
     if cfg.bloom_strength > 0:
         x = bloom(x, cfg.bloom_strength)
     x = _TONEMAPS[cfg.tonemap](x)
@@ -215,6 +248,8 @@ def postprocess(img, cfg: PostConfig, history: Optional[jnp.ndarray] = None,
     if cfg.sharpen > 0:
         x = sharpen_cas(x, cfg.sharpen)
     x = jnp.clip(x, 0.0, 1.0) ** (1.0 / cfg.gamma)
+    if exposure_state is not None:
+        return x, new_history, new_exposure
     return x, new_history
 
 

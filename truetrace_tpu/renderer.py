@@ -53,6 +53,14 @@ class RendererConfig:
     # jitter and reconstruct the full-res frame temporally
     # (post/pipeline.py taau_upscale). 1 = off.
     upscale: int = 1
+    # partial rendering: trace only 1/k of the pixels per frame (rolling
+    # interleave) and reuse the previous frame's radiance/G-buffers for
+    # the rest, motion-reprojected on camera moves — the reference's
+    # interactivity lever (DoPartialRendering,
+    # RayTracingShader.compute:91-97). 1 = off. Progressive accumulation
+    # stays unbiased (stale pixels repeat their own past samples), it
+    # just converges k-x slower. Incompatible with ReSTIR/cache/upscale.
+    partial_rendering: int = 1
     post: PostConfig = field(default_factory=PostConfig)
 
     @property
@@ -84,6 +92,12 @@ class FrameState(NamedTuple):
     taa_history: Optional[jnp.ndarray]
     prev_cam: Optional[Camera] = None   # last frame's camera (motion vecs)
     taau_history: Optional[jnp.ndarray] = None  # full-res TAAU history
+    # partial-rendering persistence: full-res (rad, albedo, normal,
+    # depth) flat buffers the 1/k traced subset scatters into
+    partial: Optional[tuple] = None
+    # temporal auto-exposure state (post/pipeline.py
+    # auto_exposure_temporal); -1 = cold start
+    exposure: Optional[jnp.ndarray] = None
 
 
 class Renderer:
@@ -128,6 +142,11 @@ class Renderer:
             if self.cfg.use_radiance_cache else None,
             taa_history=None,
             prev_cam=None,
+            partial=(jnp.zeros((ih * iw, 3)), jnp.ones((ih * iw, 3)),
+                     jnp.zeros((ih * iw, 3)), jnp.zeros((ih * iw,)))
+            if self.cfg.partial_rendering > 1 else None,
+            exposure=jnp.float32(-1.0) if self.cfg.post.auto_expose
+            else None,
         )
 
     def reset_accumulation(self, state: FrameState) -> FrameState:
@@ -167,6 +186,19 @@ class Renderer:
         h, w = cfg.internal_size      # trace resolution (upscale>1: low)
         sid = state.sample
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
+        k = cfg.partial_rendering
+        if k > 1:
+            if (cfg.use_restir or cfg.use_restir_di
+                    or cfg.use_radiance_cache or cfg.upscale > 1):
+                raise ValueError("partial_rendering is incompatible with "
+                                 "ReSTIR / radiance cache / upscale")
+            if (h * w) % k:
+                raise ValueError("partial_rendering must divide the "
+                                 "pixel count")
+            # rolling 1/k interleave (reference DoPartialRendering,
+            # RayTracingShader.compute:91-97); static subset shape
+            pixel = (jnp.arange((h * w) // k, dtype=jnp.uint32) * k
+                     + jnp.asarray(sid, jnp.uint32) % k)
         new = {}
         # TAAU jitter sequence: one Halton subpixel offset per frame so
         # the temporal upscaler knows where this frame's samples landed
@@ -215,6 +247,36 @@ class Renderer:
                                                pixel, sid,
                                                di_sample=di_sample,
                                                jitter=jitter)
+        if k > 1:
+            # compose the full frame: stale pixels keep (reprojected)
+            # previous values, the traced subset scatters fresh ones
+            p_rad, p_alb, p_nrm, p_dep = state.partial
+            if cam_moved and state.prev_cam is not None:
+                from truetrace_tpu.post.motion import motion_vectors
+                mv = motion_vectors(state.prev_cam, self.cam,
+                                    p_dep.reshape(h, w))
+                sy = jnp.arange(h)[:, None] - mv[..., 1]
+                sx = jnp.arange(w)[None, :] - mv[..., 0]
+                ys = jnp.clip(sy.astype(jnp.int32), 0, h - 1)
+                xs = jnp.clip(sx.astype(jnp.int32), 0, w - 1)
+
+                def _reproj(buf):
+                    img = buf.reshape((h, w) + buf.shape[1:])
+                    return img[ys, xs].reshape(buf.shape)
+
+                p_rad, p_alb, p_nrm, p_dep = (
+                    _reproj(p_rad), _reproj(p_alb), _reproj(p_nrm),
+                    _reproj(p_dep))
+            p_rad = p_rad.at[pixel].set(rad)
+            p_alb = p_alb.at[pixel].set(st["albedo"])
+            p_nrm = p_nrm.at[pixel].set(st["normal"])
+            p_dep = p_dep.at[pixel].set(st["depth"])
+            new["partial"] = (p_rad, p_alb, p_nrm, p_dep)
+            rad = p_rad
+            # emissive passthrough is not tracked partially: a zero map
+            # makes the denoisers' subtract/re-add a no-op (safe)
+            st = dict(st, albedo=p_alb, normal=p_nrm, depth=p_dep,
+                      emitted0=jnp.zeros_like(p_rad))
         frame = rad.reshape(h, w, 3)
         albedo = st["albedo"].reshape(h, w, 3)
         normal = st["normal"].reshape(h, w, 3)
@@ -293,9 +355,26 @@ class Renderer:
                 motion = jnp.repeat(jnp.repeat(motion, s, axis=0), s,
                                     axis=1)[:cfg.height, :cfg.width] * s
 
-        accum = state.accum.add(frame)
-        display, taa_hist = postprocess(accum.image, cfg.post,
-                                        state.taa_history, motion=motion)
+        if k > 1:
+            # warm-up: until every interleave phase has traced once, the
+            # composed frame still contains cold (zero) pixels — restart
+            # the running mean each of those frames so the accumulator
+            # never averages them in (unbiased from frame k-1 on)
+            warm = (jnp.asarray(sid) < k - 1).astype(jnp.float32)
+            accum = Accumulator(image=state.accum.image * (1.0 - warm),
+                                count=state.accum.count * (1.0 - warm))
+            accum = accum.add(frame)
+        else:
+            accum = state.accum.add(frame)
+        if state.exposure is not None:
+            display, taa_hist, new_exp = postprocess(
+                accum.image, cfg.post, state.taa_history, motion=motion,
+                exposure_state=state.exposure)
+            new["exposure"] = new_exp
+        else:
+            display, taa_hist = postprocess(accum.image, cfg.post,
+                                            state.taa_history,
+                                            motion=motion)
         new_state = state._replace(
             accum=accum, sample=sid + 1, taa_history=taa_hist,
             prev_cam=self.cam, **new)

@@ -135,10 +135,13 @@ def _texture_image(doc, buffers, tex_idx, base_dir) -> Optional[np.ndarray]:
         return None
 
 
-def load_gltf(path: str, atlas_builder=None
-              ) -> Tuple[List[HostMesh], List[HostMaterial]]:
+def load_gltf(path: str, atlas_builder=None, auto_pair: bool = False,
+              rules=None) -> Tuple[List[HostMesh], List[HostMaterial]]:
     """Load a glTF/GLB file. Returns (meshes, materials) for
-    compile_scene. Pass an AtlasBuilder to also import textures."""
+    compile_scene. Pass an AtlasBuilder to also import textures.
+    auto_pair: fill Disney fields glTF cannot express from material-name
+    rules (scene/material_rules.py; reference MaterialMappings.xml) —
+    explicit glTF PBR data always wins."""
     doc, buffers = _load_container(path)
     base_dir = os.path.dirname(path)
 
@@ -182,6 +185,10 @@ def load_gltf(path: str, atlas_builder=None
         ))
     if not doc.get("materials"):
         mats = [HostMaterial()]
+    elif auto_pair:
+        from truetrace_tpu.scene.material_rules import auto_pair as _ap
+        mats = _ap([m.get("name", "") for m in doc["materials"]], mats,
+                   rules)
 
     # flatten the node hierarchy of the default scene
     meshes: List[HostMesh] = []

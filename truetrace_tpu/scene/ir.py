@@ -142,14 +142,19 @@ class AnalyticLights:
     ltype: jnp.ndarray        # [K] int32
     spot_cos: jnp.ndarray     # [K,2] inner/outer cos for spot
     extent: jnp.ndarray       # [K,2] quad half-extents / disk radius
-    softness: jnp.ndarray     # [K]
+    softness: jnp.ndarray     # [K] penumbra radius for point/spot/dir
+                              # (reference LightData.Softness,
+                              # RayTracingShader.compute:361-375)
+    z_rot: Optional[Any] = None  # [K] area-light in-plane rotation
+                              # (reference ZAxisRotation); None = 0
 
     @staticmethod
     def none() -> "AnalyticLights":
         z3 = jnp.zeros((0, 3), jnp.float32)
         z2 = jnp.zeros((0, 2), jnp.float32)
         z1 = jnp.zeros((0,), jnp.float32)
-        return AnalyticLights(z3, z3, z3, jnp.zeros((0,), jnp.int32), z2, z2, z1)
+        return AnalyticLights(z3, z3, z3, jnp.zeros((0,), jnp.int32), z2,
+                              z2, z1, z1)
 
 
 @struct.dataclass

@@ -75,11 +75,27 @@ def load_manifest(path: str):
             mats.append(HostMaterial(**kw))
         return mat_names[name]
 
+    # material auto-pairing (reference MaterialMappings.xml): top-level
+    # "auto_pair": true enables name-rule pairing for every obj/gltf
+    # entry; "material_rules": "rules.json" prepends a user rules DB
+    pair_rules = None
+    auto = bool(doc.get("auto_pair", False))
+    if doc.get("material_rules"):
+        from truetrace_tpu.scene.material_rules import load_rules
+        pair_rules = load_rules(_resolve(base, doc["material_rules"]))
+        auto = True
+
     meshes = []
     for entry in doc.get("meshes", []):
+        auto_e = bool(entry.get("auto_pair", auto))
         if "obj" in entry:
             from truetrace_tpu.scene.obj_loader import load_obj
-            ms, mlist = load_obj(_resolve(base, entry["obj"]))
+            ms, mlist, names = load_obj(_resolve(base, entry["obj"]),
+                                        _return_names=True)
+            if auto_e:
+                from truetrace_tpu.scene.material_rules import auto_pair \
+                    as _ap
+                mlist = _ap(names, mlist, pair_rules)
             off = len(mats)
             mats.extend(mlist)
             for m in ms:
@@ -88,7 +104,8 @@ def load_manifest(path: str):
         elif "gltf" in entry:
             from truetrace_tpu.scene.gltf_loader import load_gltf
             ms, mlist = load_gltf(_resolve(base, entry["gltf"]),
-                                  atlas_builder=builder)
+                                  atlas_builder=builder, auto_pair=auto_e,
+                                  rules=pair_rules)
             off = len(mats)
             mats.extend(mlist)
             for m in ms:

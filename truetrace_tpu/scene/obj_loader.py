@@ -177,7 +177,8 @@ def load_obj(path: str, scale: float = 1.0, _tex_paths=None,
     return [mesh], mats
 
 
-def load_obj_scene(path: str, scale: float = 1.0, max_tex: int = 1024):
+def load_obj_scene(path: str, scale: float = 1.0, max_tex: int = 1024,
+                   auto_pair: bool = False, rules=None):
     """load_obj + texture ingestion: decodes every map_Kd/map_Ke/map_bump/
     map_Pr referenced by the MTL (PIL), packs them into one atlas
     (scene/atlas.py shelf packer + mips), and assigns the tex_* ids on the
@@ -192,6 +193,11 @@ def load_obj_scene(path: str, scale: float = 1.0, max_tex: int = 1024):
     tex_paths: Dict[str, dict] = {}
     meshes, mats, names = load_obj(path, scale, _tex_paths=tex_paths,
                                    _return_names=True)
+    if auto_pair:
+        # naming-convention pairing for foreign assets with no manifest
+        # (reference MaterialMappings.xml; scene/material_rules.py)
+        from truetrace_tpu.scene.material_rules import auto_pair as _ap
+        mats = _ap(names, mats, rules)
     from truetrace_tpu.scene.atlas import AtlasBuilder
     builder = AtlasBuilder()
     cache: Dict[str, Optional[int]] = {}
