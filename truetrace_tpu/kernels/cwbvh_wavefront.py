@@ -75,6 +75,11 @@ def _row_cols(row):
     return lambda k: row[:, k]
 
 
+# Fuse the per-iteration Moller+decode core into one Pallas VMEM kernel
+# (kernels/step_pallas.py) instead of XLA fusion groups. Bit-identical;
+# measured on-chip before flipping the default (BASELINE.md round 3).
+_PALLAS_STEP = os.environ.get("TT_PALLAS_STEP", "0") == "1"
+
 # One entry per tree level; CWBVH depth ~ log8(T) (measured: 9 at 293k
 # tris, 12 at 5.2M). The stack planes are shift registers — every
 # iteration shuffles all MAX_STACK columns of 3 planes (~14% of the step,
@@ -294,12 +299,13 @@ def _pack_table(nodes, leaf_rows):
          jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32)], axis=0)
 
 
-_PLANE_KEYS = ("phits", "pchim", "pbleaf")
+_PLANE_KEYS = ("phits", "pchim", "pbleaf", "ray9")
 
 
 def _take(st, idx):
     """Compact/permute the state dict along the LANE axis. Stack planes
-    are [S,R] (lane axis LAST); everything else leads with it."""
+    (and the lane-major ray9 block) are [S,R] (lane axis LAST);
+    everything else leads with it."""
     return {k: (a[:, idx] if k in _PLANE_KEYS else a[idx])
             for k, a in st.items()}
 
@@ -329,7 +335,7 @@ def _init_state(unified, ro, rd, t_max, root, max_stack):
     hits, chim, bleaf = _decode_rows_to_group(
         unified[root_ids], ro, rd, inv_rd, t_best)
     zero_u = jnp.zeros((max_stack, R), U32)
-    return dict(
+    st = dict(
         ro=ro, rd=rd, inv=inv_rd, oct=oct_key,
         hits=hits, chim=chim, bleaf=bleaf,
         phits=zero_u, pchim=zero_u, pbleaf=zero_u,
@@ -338,6 +344,11 @@ def _init_state(unified, ro, rd, t_max, root, max_stack):
         u=jnp.zeros((R,), jnp.float32), v=jnp.zeros((R,), jnp.float32),
         orig=jnp.arange(R, dtype=jnp.int32),
     )
+    if _PALLAS_STEP:
+        # lane-major ray block for the fused step kernel — transposed
+        # ONCE here (rays are loop-invariant in single-level traversal)
+        st["ray9"] = jnp.concatenate([ro.T, rd.T, inv_rd.T], axis=0)
+    return st
 
 
 def _active(st):
@@ -351,6 +362,45 @@ def _shift_pop(plane):
 
 def _shift_push(plane, new_row):
     return jnp.concatenate([new_row[None, :], plane[:-1]], axis=0)
+
+
+def _step_tail(st, any_hit, pop, push_from, decoded, sp, t_best, tri_best,
+               u_best, v_best):
+    """Shared step tail: shift-register stack update, group select,
+    any-hit early-out (used by both the XLA and Pallas step cores)."""
+    descend, leaf_lane, node_rest, chim, bleaf, hits, lsb = push_from
+    hits_leaf = hits & ~lsb
+    # pop applies first, then push on the popped state (a lane may pop
+    # AND push in one iteration — pushing onto the pre-pop stack would
+    # resurrect the popped entry and drop the deepest one).
+    rest = node_rest << 24          # leaf bits drained before any descent
+    push = descend & (rest != 0)
+    for key, saved in (("phits", rest), ("pchim", chim),
+                       ("pbleaf", bleaf)):
+        plane = st[key]
+        based = jnp.where(pop[None, :], _shift_pop(plane), plane)
+        pushed = _shift_push(based, saved.astype(plane.dtype))
+        st[key] = jnp.where(push[None, :], pushed, based)
+    sp = sp + push.astype(jnp.int32)
+
+    c_hits, c_chim, c_bleaf = decoded
+    hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf,
+                                                hits))
+    chim = jnp.where(descend, c_chim, chim)
+    bleaf = jnp.where(descend, c_bleaf, bleaf)
+
+    if any_hit == "mixed":
+        # per-lane any-hit flag: flagged lanes stop at their first hit
+        found = st["anyf"] & (tri_best >= 0)
+        hits = jnp.where(found, U32(0), hits)
+        sp = jnp.where(found, 0, sp)
+    elif any_hit:
+        found = tri_best >= 0
+        hits = jnp.where(found, U32(0), hits)
+        sp = jnp.where(found, 0, sp)
+
+    return dict(st, hits=hits, chim=chim, bleaf=bleaf, sp=sp,
+                t=t_best, tri=tri_best, u=u_best, v=v_best)
 
 
 def _step(unified, L, C, any_hit, st):
@@ -409,6 +459,27 @@ def _step(unified, L, C, any_hit, st):
                         jnp.where(descend, child, 0))
     row = unified[row_idx]                              # [R,30] u32
 
+    if _PALLAS_STEP:
+        # fused Moller+decode in one VMEM kernel (kernels/step_pallas.py)
+        from truetrace_tpu.kernels.step_pallas import step_core
+        bc = jax.lax.bitcast_convert_type
+        rowt = jnp.pad(row, ((0, 0), (0, 32 - row.shape[1]))).T
+        st5 = jnp.stack([bc(t_best, U32), bc(tri_best, U32),
+                         bc(u_best, U32), bc(v_best, U32),
+                         leaf_lane.astype(U32)], axis=0)
+        out = step_core(rowt, st["ray9"], st5,
+                        write_uv=(any_hit is not True))
+        t_best = bc(out[0], jnp.float32)
+        tri_best = bc(out[1], jnp.int32)
+        u_best = bc(out[2], jnp.float32)
+        v_best = bc(out[3], jnp.float32)
+        c_hits, c_chim, c_bleaf = out[4], out[5], out[6]
+        return _step_tail(st, any_hit, pop, push_from=(descend, leaf_lane,
+                          node_rest, chim, bleaf, hits, lsb),
+                          decoded=(c_hits, c_chim, c_bleaf), sp=sp,
+                          t_best=t_best, tri_best=tri_best, u_best=u_best,
+                          v_best=v_best)
+
     # ONE u32 transpose of the gathered row serves the Moller tests, the
     # tri ids AND the node decode: per-column f32/i32 views are free
     # bitcasts of [R] u32 rows, where separate f32/u32 transposes of the
@@ -449,42 +520,15 @@ def _step(unified, L, C, any_hit, st):
         if any_hit is not True:  # shadow-only dispatches skip u/v
             u_best = jnp.where(ok, u, u_best)
             v_best = jnp.where(ok, v, v_best)
-    hits_leaf = hits & ~lsb
-
-    # ---- 3b. descending lanes: stack update then swap in the child.
-    # pop applies first, then push on the popped state (a lane may pop AND
-    # push in one iteration — pushing onto the pre-pop stack would
-    # resurrect the popped entry and drop the deepest one).
-    rest = node_rest << 24          # leaf bits drained before any descent
-    push = descend & (rest != 0)
-    for key, saved in (("phits", rest), ("pchim", chim),
-                       ("pbleaf", bleaf)):
-        plane = st[key]
-        based = jnp.where(pop[None, :], _shift_pop(plane), plane)
-        pushed = _shift_push(based, saved.astype(plane.dtype))
-        st[key] = jnp.where(push[None, :], pushed, based)
-    sp = sp + push.astype(jnp.int32)
 
     # decode + slab the child row for descending lanes (from the shared
-    # transpose of `row`)
+    # transpose of `row`), then the shared stack-update/select tail
     c_hits, c_chim, c_bleaf = _decode_cols(ucol, ro.shape[0], ro, rd,
                                            inv_rd, t_best)
-    hits = jnp.where(descend, c_hits, jnp.where(leaf_lane, hits_leaf, hits))
-    chim = jnp.where(descend, c_chim, chim)
-    bleaf = jnp.where(descend, c_bleaf, bleaf)
-
-    if any_hit == "mixed":
-        # per-lane any-hit flag: flagged lanes stop at their first hit
-        found = st["anyf"] & (tri_best >= 0)
-        hits = jnp.where(found, U32(0), hits)
-        sp = jnp.where(found, 0, sp)
-    elif any_hit:
-        found = tri_best >= 0
-        hits = jnp.where(found, U32(0), hits)
-        sp = jnp.where(found, 0, sp)
-
-    return dict(st, hits=hits, chim=chim, bleaf=bleaf, sp=sp,
-                t=t_best, tri=tri_best, u=u_best, v=v_best)
+    return _step_tail(st, any_hit, pop, (descend, leaf_lane, node_rest,
+                                         chim, bleaf, hits, lsb),
+                      (c_hits, c_chim, c_bleaf), sp, t_best, tri_best,
+                      u_best, v_best)
 
 
 _ITER_CAP = 65536   # safety bound; reference caps at 1000 iters/ray
