@@ -82,3 +82,60 @@ def test_train_step_full_trainable_set(setup):
                                   np.asarray(getattr(scene.materials, col)))
     np.testing.assert_allclose(np.asarray(s1.env.intensity),
                                np.asarray(s8.env.intensity), rtol=1e-4)
+
+
+def test_ring_all_reduce_matches_pmean(setup):
+    """The explicit ppermute ring (reduce-scatter + all-gather) computes
+    the same mean-all-reduce as lax.pmean, for awkward leaf shapes."""
+    import jax
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from truetrace_tpu.dist.sharding import TILE_AXIS, ring_all_reduce
+
+    mesh = make_mesh(8)
+    n = 8
+    rng = np.random.default_rng(5)
+    for shape in ((3,), (5, 3), (17,), (2, 2, 2)):
+        x = jnp.asarray(rng.normal(size=(n,) + shape).astype(np.float32))
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(TILE_AXIS),),
+                 out_specs=(P(TILE_AXIS), P(TILE_AXIS)), check_rep=False)
+        def both(xs):
+            v = xs[0]
+            a = ring_all_reduce(v, TILE_AXIS, n)
+            b = jax.lax.pmean(v, TILE_AXIS)
+            return a[None], b[None]
+
+        a, b = both(x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_optax_and_ring(setup):
+    """Real optimizer state (optax adam) threads through the sharded
+    step; the ring collective gives the same trajectory as psum; loss
+    decreases over a short loop."""
+    import optax
+    scene, cam, cfg = setup
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    mesh = make_mesh(8)
+    from truetrace_tpu.diff.render_grad import get_scene_params
+    tx = optax.adam(0.05)
+
+    losses = {}
+    for coll in ("psum", "ring"):
+        sc = scene
+        params = get_scene_params(sc, keys=("base_color",),
+                                  with_env=False, with_lights=False)
+        opt_state = tx.init(params)
+        ls = []
+        for it in range(3):
+            loss, sc, opt_state = train_step_sharded(
+                sc, cam, cfg, mesh, target, spp=1,
+                trainable=("base_color",), tx=tx, opt_state=opt_state,
+                collective=coll)
+            ls.append(float(loss))
+        losses[coll] = ls
+    np.testing.assert_allclose(losses["psum"], losses["ring"], rtol=1e-4)
+    assert losses["psum"][-1] < losses["psum"][0]

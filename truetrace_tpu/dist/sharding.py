@@ -81,19 +81,68 @@ def render_tiled(scene: Scene, cam: Camera, cfg: RenderConfig, mesh: Mesh,
     return tile_fn(scene, cam, row_ids)
 
 
+def ring_all_reduce(x, axis_name: str, n: int):
+    """Mean all-reduce as an explicit ICI ring: reduce-scatter (n-1
+    ppermute hops, each chip accumulates one 1/n chunk) followed by
+    all-gather (n-1 more hops) — the scaling-book recipe that lets XLA
+    overlap per-leaf rings with still-running backward compute, instead
+    of one bulk psum barrier at the end. Numerically it is a mean with a
+    ring reduction order.
+
+    n is the static axis size; works on any leaf shape (flattens, pads
+    to n chunks)."""
+    if n == 1:
+        return x
+    shape = x.shape
+    flat = x.reshape(-1)
+    c = -(-flat.shape[0] // n)                       # ceil chunk size
+    chunks = jnp.pad(flat, (0, n * c - flat.shape[0])).reshape(n, c)
+    me = jax.lax.axis_index(axis_name)
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+
+    # reduce-scatter: after step s, chip me holds the running sum of
+    # chunk (me - 2 - s) mod n over s+2 contributors; after n-1 steps it
+    # owns the COMPLETE sum of chunk `me`
+    acc = chunks[(me - 1) % n]
+    send_idx = (me - 1) % n
+    for _ in range(n - 1):
+        recv = jax.lax.ppermute(acc, axis_name, fwd)
+        send_idx = (send_idx - 1) % n
+        acc = recv + chunks[send_idx]
+    # all-gather: circulate the finished chunks around the ring; each
+    # hop delivers the chunk one index lower
+    out = jnp.zeros((n, c), flat.dtype).at[me].set(acc)
+    piece = acc
+    idx = me
+    for _ in range(n - 1):
+        piece = jax.lax.ppermute(piece, axis_name, fwd)
+        idx = (idx - 1) % n
+        out = out.at[idx].set(piece)
+    return (out.reshape(-1)[:flat.shape[0]] / n).reshape(shape)
+
+
 def train_step_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
                        mesh: Mesh, target: jnp.ndarray, spp: int = 4,
                        lr: float = 0.05, base_sample: int = 0,
-                       trainable=("base_color",)):
+                       trainable=("base_color",), tx=None, opt_state=None,
+                       collective: str = "psum"):
     """One differentiable-rendering optimization step, sharded over tiles.
 
     Renders with the current trainable parameters (any mix of
     MaterialTable columns plus "env_intensity" / "light_radiance" — the
     full diff/render_grad.py pytree), computes L2 loss against `target`
-    ([H,W,3]), backprops through the full estimator, psums every gradient
-    leaf over the tile axis, and returns (loss, new_scene). This is the
-    multi-chip 'training step' shape: dp over pixels, replicated params,
-    ICI all-reduce of gradients.
+    ([H,W,3]), backprops through the full estimator, all-reduces every
+    gradient leaf over the tile axis, and applies the update. This is
+    the multi-chip 'training step' shape: dp over pixels, replicated
+    params, ICI all-reduce of gradients.
+
+    Optimizer: pass an optax `tx` + its `opt_state` to run a real
+    optimizer (returns (loss, new_scene, new_opt_state)); without them
+    the legacy fixed-lr SGD applies and the return stays (loss,
+    new_scene). collective: "psum" (one bulk pmean per leaf) or "ring"
+    (explicit reduce-scatter + all-gather via ppermute,
+    `ring_all_reduce` — per-leaf rings XLA can overlap with
+    still-running backward compute).
     """
     from truetrace_tpu.diff.render_grad import (get_scene_params,
                                                 set_scene_params)
@@ -124,11 +173,20 @@ def train_step_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
 
         loss, g = jax.value_and_grad(loss_fn)(params_rep)
         loss = jax.lax.pmean(loss, TILE_AXIS)
-        g = jax.tree_util.tree_map(
-            lambda x: jax.lax.pmean(x, TILE_AXIS), g)   # ICI all-reduce
+        if collective == "ring":
+            g = jax.tree_util.tree_map(
+                lambda x: ring_all_reduce(x, TILE_AXIS, n), g)
+        else:
+            g = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, TILE_AXIS), g)  # ICI all-reduce
         return loss, g
 
     loss, g = step(params, scene, cam, target)
+    if tx is not None:
+        updates, new_opt_state = tx.update(g, opt_state, params)
+        import optax
+        new_params = optax.apply_updates(params, updates)
+        return loss, set_scene_params(scene, new_params), new_opt_state
     new_params = jax.tree_util.tree_map(lambda p, gg: p - lr * gg,
                                         params, g)
     return loss, set_scene_params(scene, new_params)

@@ -459,7 +459,7 @@ def _step(unified, L, C, any_hit, st):
                         jnp.where(descend, child, 0))
     row = unified[row_idx]                              # [R,30] u32
 
-    if _PALLAS_STEP:
+    if _PALLAS_STEP and ro.shape[0] % 1024 == 0:
         # fused Moller+decode in one VMEM kernel (kernels/step_pallas.py)
         from truetrace_tpu.kernels.step_pallas import step_core
         bc = jax.lax.bitcast_convert_type

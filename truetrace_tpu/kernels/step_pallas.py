@@ -119,13 +119,25 @@ def _kernel(write_uv: bool, rowt_ref, ray_ref, st_ref, out_ref):
 @partial(jax.jit, static_argnames=("write_uv",))
 def step_core(rowt, ray9, st5, write_uv: bool = True):
     """Fused Moller+decode. rowt [32,R] u32, ray9 [9,R] f32, st5 [5,R]
-    u32 -> out [7,R] u32 (layout in the module docstring)."""
+    u32 -> out [7,R] u32 (layout in the module docstring). Gridded over
+    the lane axis in blocks (whole-batch blocks OOM the 16 MB VMEM at
+    64k lanes); R must be a multiple of 1024 (cwbvh_wavefront gates)."""
     R = rowt.shape[1]
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = 8192 if R % 8192 == 0 else 1024
+    grid = (R // blk,)
     return pl.pallas_call(
         partial(_kernel, write_uv),
         out_shape=jax.ShapeDtypeStruct((7, R), U32),
-        in_specs=[spec] * 3,
-        out_specs=spec,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((32, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((7, blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
         interpret=jax.default_backend() == "cpu",
     )(rowt, ray9, st5)
