@@ -74,8 +74,10 @@ def main():
     off = base.positions.shape[0]
     glass_id = len(mats2)
     mats2 = mats2 + [
-        HostMaterial(base_color=(1.0, 1.0, 1.0), roughness=0.02,
-                     spec_trans=1.0, ior=1.5),
+        # colored glass: Beer-Lambert interior absorption tints the
+        # transmission with thickness (round-3 glass transport)
+        HostMaterial(base_color=(0.55, 0.82, 0.95), roughness=0.02,
+                     spec_trans=1.0, ior=1.5, scatter_dist=0.15),
         HostMaterial(base_color=(0.95, 0.78, 0.4), metallic=1.0,
                      roughness=0.15)]
     pos = np.concatenate([base.positions,
