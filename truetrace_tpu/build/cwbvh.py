@@ -69,8 +69,8 @@ def _half_area(lo, hi):
 
 
 def build_cwbvh(bvh: BVH2, prim_box: np.ndarray,
-                use_native: bool = True) -> CWBVH:
-    """bvh: binary BVH (ideally built with max_leaf<=3);
+                use_native: bool = True, p_max: int = 3) -> CWBVH:
+    """bvh: binary BVH (ideally built with max_leaf<=p_max);
     prim_box: [T,2,3] primitive AABBs in the SAME order as bvh leaf slots
     (i.e. already permuted by bvh.order).
 
@@ -79,7 +79,7 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray,
     matter — the Python DP is ~15 s at 300k tris, the native one ~0.1 s."""
     if use_native and bvh.order.shape[0] >= 20000:
         from truetrace_tpu.build.native import build_cwbvh_native
-        out = build_cwbvh_native(bvh.box, bvh.left, bvh.count)
+        out = build_cwbvh_native(bvh.box, bvh.left, bvh.count, p_max=p_max)
         if out is not None:
             (nodes, tri_index, leaf_start, depth, node_depth,
              slot_child, slot_tri_base, slot_tri_count) = out
@@ -119,7 +119,7 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray,
         if count[n] > 0:
             # BVH2 leaf: must fit in one CWBVH leaf slot
             p = count[n]
-            c_leaf = a * p * C_PRIM if p <= P_MAX else np.inf
+            c_leaf = a * p * C_PRIM if p <= p_max else np.inf
             cost[n, :] = c_leaf
             decision[n, :] = 0
             continue
@@ -292,10 +292,17 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray,
                 # leaf slot: flatten the BVH2 leaf's triangles
                 assert count[c] > 0, "leaf slot must be a BVH2 leaf"
                 ntri = int(count[c])
-                assert ntri <= P_MAX
-                unary = (1 << ntri) - 1
-                meta[s] = (unary << 5) | tri_off
+                assert ntri <= p_max
+                # classic meta byte encodes <=3 tris / offset<=31; fat
+                # builds (p_max>3) store a nonzero marker — traversal
+                # consumers read slot_tri_base/count directly
+                if ntri <= 3 and tri_off <= 31:
+                    unary = (1 << ntri) - 1
+                    meta[s] = (unary << 5) | tri_off
+                else:
+                    meta[s] = 0b1000_0000 | s
                 new_leaf_start[c] = base_tri + tri_off
+                meta_slot_tri[node_id][s] = (base_tri + tri_off, ntri)
                 for t in range(ntri):
                     tri_index.append(int(left[c]) + t)
                 tri_off += ntri
@@ -317,10 +324,8 @@ def build_cwbvh(bvh: BVH2, prim_box: np.ndarray,
             if imask & (1 << s):
                 meta_slot_child[node_id][s] = base_child + rank
                 rank += 1
-            else:
-                off = meta[s] & 0x1F
-                cnt = bin(meta[s] >> 5).count("1")
-                meta_slot_tri[node_id][s] = (base_tri + off, cnt)
+            # leaf slots: meta_slot_tri was written at emission (the meta
+            # byte no longer round-trips counts in fat-leaf builds)
 
         # fill the 20 words
         w = np.zeros(20, np.uint32)

@@ -23,7 +23,6 @@
 
 namespace {
 
-constexpr int P_MAX = 3;
 constexpr double C_NODE = 1.0;
 constexpr double C_PRIM = 0.3;
 constexpr double INF = std::numeric_limits<double>::infinity();
@@ -44,6 +43,7 @@ struct Builder {
   const int32_t* left;
   const int32_t* count;
   int32_t n2;
+  int32_t p_max = 3;   // max tris per leaf slot (fat-leaf rows use 6/12)
 
   std::vector<double> cost;    // [n2*7]
   std::vector<int8_t> decision;
@@ -78,7 +78,7 @@ struct Builder {
       int8_t* dn = &decision[(size_t)n * 7];
       if (count[n] > 0) {
         int p = count[n];
-        double c_leaf = p <= P_MAX ? a * p * C_PRIM : INF;
+        double c_leaf = p <= p_max ? a * p * C_PRIM : INF;
         for (int i = 0; i < 7; i++) { cn[i] = c_leaf; dn[i] = 0; }
         continue;
       }
@@ -259,9 +259,19 @@ struct Builder {
           internal_children.push_back(c);
         } else {
           int ntri = count[c];
-          uint32_t unary = (1u << ntri) - 1u;
-          meta[s] = (unary << 5) | (uint32_t)tri_off;
+          // classic Ylitie meta byte (unary count, 5-bit offset) only
+          // encodes <=3 tris / offset<=31; fat-leaf builds (p_max>3) use
+          // a nonzero marker byte instead — every traversal consumer
+          // reads slot_tri_base/cnt directly, meta only gates occupancy
+          if (ntri <= 3 && tri_off <= 31) {
+            uint32_t unary = (1u << ntri) - 1u;
+            meta[s] = (unary << 5) | (uint32_t)tri_off;
+          } else {
+            meta[s] = 0b10000000u | (uint32_t)s;
+          }
           out.leaf_start[c] = base_tri + tri_off;
+          out.slot_tri_base[(size_t)node_id * 8 + s] = base_tri + tri_off;
+          out.slot_tri_cnt[(size_t)node_id * 8 + s] = ntri;
           for (int t = 0; t < ntri; t++)
             out.tri_index.push_back(left[c] + t);
           tri_off += ntri;
@@ -285,12 +295,9 @@ struct Builder {
         if (imask & (1u << s)) {
           out.slot_child[(size_t)node_id * 8 + s] = base_child + rank;
           rank++;
-        } else {
-          int off = meta[s] & 0x1F;
-          int cnt = __builtin_popcount(meta[s] >> 5);
-          out.slot_tri_base[(size_t)node_id * 8 + s] = base_tri + off;
-          out.slot_tri_cnt[(size_t)node_id * 8 + s] = cnt;
         }
+        // leaf slots: slot_tri_base/cnt were written directly at emission
+        // (the meta byte no longer round-trips counts in fat-leaf builds)
       }
 
       // pack the 20 words
@@ -327,9 +334,10 @@ struct Builder {
 extern "C" {
 
 void* cwbvh_build(const float* box, const int32_t* left,
-                  const int32_t* count, int32_t n2,
+                  const int32_t* count, int32_t n2, int32_t p_max,
                   int32_t* n_nodes, int32_t* n_tri, int32_t* depth) {
   auto* b = new Builder{box, left, count, n2};
+  b->p_max = p_max > 0 ? p_max : 3;
   b->collapse();
   *n_nodes = (int32_t)(b->out.nodes.size() / 20);
   *n_tri = (int32_t)b->out.tri_index.size();

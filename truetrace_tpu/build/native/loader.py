@@ -11,7 +11,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 # versioned name: bump when the C ABI grows so a stale cached .so rebuilds
-_SO = os.path.join(_DIR, "libttnative_v2.so")
+_SO = os.path.join(_DIR, "libttnative_v3.so")
 _SOURCES = ("bvh2.cpp", "cwbvh.cpp")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -55,7 +55,7 @@ def _load() -> Optional[ctypes.CDLL]:
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
         lib.cwbvh_build.restype = ctypes.c_void_p
         lib.cwbvh_build.argtypes = [
-            f32p, i32p, i32p, ctypes.c_int32,
+            f32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
         lib.cwbvh_emit.argtypes = [ctypes.c_void_p, u32p, i32p, i32p, i32p,
@@ -93,12 +93,14 @@ def build_bvh2_native(prim_box: np.ndarray, max_leaf: int, sah_cap: int):
     return box.reshape(N, 2, 3), left, count, order, int(depth.value)
 
 
-def build_cwbvh_native(box: np.ndarray, left: np.ndarray, count: np.ndarray):
+def build_cwbvh_native(box: np.ndarray, left: np.ndarray, count: np.ndarray,
+                       p_max: int = 3):
     """CWBVH collapse of a BVH2 (build/native/cwbvh.cpp). Returns the same
     tuple as the Python collapse or None if the library is unavailable:
     (nodes [C,20] u32, tri_index [T], leaf_start [N2], depth,
      node_depth [C], slot_child [C,8], slot_tri_base [C,8],
-     slot_tri_count [C,8])."""
+     slot_tri_count [C,8]). p_max > 3 builds fat leaf slots (the BVH2 must
+    have been built with matching max_leaf)."""
     lib = _load()
     if lib is None or not hasattr(lib, "cwbvh_build"):
         return None
@@ -109,7 +111,7 @@ def build_cwbvh_native(box: np.ndarray, left: np.ndarray, count: np.ndarray):
     n_nodes = ctypes.c_int32()
     n_tri = ctypes.c_int32()
     depth = ctypes.c_int32()
-    handle = lib.cwbvh_build(boxf, left, count, n2,
+    handle = lib.cwbvh_build(boxf, left, count, n2, np.int32(p_max),
                              ctypes.byref(n_nodes), ctypes.byref(n_tri),
                              ctypes.byref(depth))
     try:

@@ -215,12 +215,13 @@ def _traverse_rows(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack):
                 leafmask_bits & ((U32(1) << U32(s)) - U32(1))
             ).astype(jnp.int32)
             lrow_i = jnp.clip(nd["base_tri"] + lrank, 0, L - 1)
-            row = leaf_rows[lrow_i]                          # [R,30]
-            for j in range(3):
+            row = leaf_rows[lrow_i]                          # [R,10K]
+            K = leaf_rows.shape[1] // 10
+            for j in range(K):
                 tp0 = row[:, 9 * j: 9 * j + 3]
                 te1 = row[:, 9 * j + 3: 9 * j + 6]
                 te2 = row[:, 9 * j + 6: 9 * j + 9]
-                tid = jax.lax.bitcast_convert_type(row[:, 27 + j],
+                tid = jax.lax.bitcast_convert_type(row[:, 9 * K + j],
                                                    jnp.int32)
                 valid = leaf_hit[:, s] & (tid >= 0)
                 h, th, hu, hv = ray_tri(ro, rd, tp0, te1, te2, t_best)

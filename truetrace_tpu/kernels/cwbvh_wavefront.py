@@ -89,18 +89,34 @@ _PALLAS_STEP = os.environ.get("TT_PALLAS_STEP", "0") == "1"
 MAX_STACK = int(os.environ.get("TT_MAX_STACK", "16"))
 PTR_MASK = U32(0x00FFFFFF)   # low 24 bits of chim/bleaf hold the base index
 LEAF_MASK = U32(0x000000FF)  # hits bits 0..7 = pending leaf slots
-ROW_W = 30                   # leaf row: 3x(p0,e1,e2) + 3 tri ids
+ROW_W = 30                   # default leaf row: 3x(p0,e1,e2) + 3 tri ids
+
+# Leaf rows generalize to K tris per row ("fat leaves", K in {3, 6, 12}):
+# row = K x 9 triangle words + K id words = 10K wide, built by
+# compile_scene(leaf_k=K) over a max_leaf=K BVH2. Rationale (measured,
+# BASELINE.md round-3 width map): the HBM-resident dependent gather has a
+# mode switch at W>=57ish — W=60..128 all stream at ~1.1 ns/word, so a
+# 60-wide row costs ~as much as a 30-wide one while testing 2x the
+# triangles per leaf iteration. Cache-resident tables are width-free but
+# pay the extra Moller VPU work, so K=3 stays the small-scene default.
+# The traversal derives K statically from the table width (10K).
+
+
+def _k_of(width: int) -> int:
+    """Tris per leaf row from the unified/leaf table width (10K)."""
+    assert width % 10 == 0 and width >= 30, f"bad leaf-row width {width}"
+    return width // 10
 
 
 def pack_leaf_rows(nodes: np.ndarray, slot_tri_base: np.ndarray,
                    slot_tri_count: np.ndarray, p0: np.ndarray,
-                   e1: np.ndarray, e2: np.ndarray):
+                   e1: np.ndarray, e2: np.ndarray, k: int = 3):
     """Host post-pass: build the per-leaf row table and rewrite node word 5
     to base_leaf_row.
 
     slot_tri_base/slot_tri_count: [C,8] builder metadata; p0/e1/e2: [T,3]
     triangles in CWBVH order. Returns (nodes_patched [C,20] u32,
-    leaf_rows [L,30] f32 — tri-id columns 27..29 are bitcast int32;
+    leaf_rows [L,10k] f32 — tri-id columns 9k..10k-1 are bitcast int32;
     missing tris are degenerate (e=0 -> det=0, never hit) with id -1)."""
     C = nodes.shape[0]
     T = p0.shape[0]
@@ -113,19 +129,22 @@ def pack_leaf_rows(nodes: np.ndarray, slot_tri_base: np.ndarray,
     nodes2[:, 5] = base_leaf.astype(np.uint32)
     sb = slot_tri_base[mask].astype(np.int64)        # [L] node-major order
     scnt = slot_tri_count[mask]
-    rows = np.zeros((L, ROW_W), np.float32)
-    for j in range(3):
+    assert scnt.size == 0 or int(scnt.max()) <= k, \
+        "leaf slot exceeds k tris — build the BVH2 with max_leaf<=k"
+    rows = np.zeros((L, 10 * k), np.float32)
+    for j in range(k):
         valid = (j < scnt)[:, None]
         tid = np.clip(sb + j, 0, T - 1)
         rows[:, 9 * j + 0: 9 * j + 3] = np.where(valid, p0[tid], 0.0)
         rows[:, 9 * j + 3: 9 * j + 6] = np.where(valid, e1[tid], 0.0)
         rows[:, 9 * j + 6: 9 * j + 9] = np.where(valid, e2[tid], 0.0)
-        rows.view(np.int32)[:, 27 + j] = np.where(
+        rows.view(np.int32)[:, 9 * k + j] = np.where(
             valid[:, 0], sb + j, -1).astype(np.int32)
     return nodes2, rows
 
 
-def pack_leaf_rows_jax(slot_tri_base, slot_tri_count, p0, e1, e2):
+def pack_leaf_rows_jax(slot_tri_base, slot_tri_count, p0, e1, e2,
+                       k: int = 3):
     """Device-side leaf-row rebuild for deformed geometry (skinning/refit):
     same layout as pack_leaf_rows but from [L] flattened slot arrays
     (slot_tri_base[mask], slot_tri_count[mask] — host-static) and jnp
@@ -135,7 +154,7 @@ def pack_leaf_rows_jax(slot_tri_base, slot_tri_count, p0, e1, e2):
     scnt = jnp.asarray(slot_tri_count, jnp.int32)
     cols = []
     ids = []
-    for j in range(3):
+    for j in range(k):
         valid = (j < scnt)[:, None]
         tid = jnp.clip(sb + j, 0, T - 1)
         cols += [jnp.where(valid, p0[tid], 0.0),
@@ -287,15 +306,18 @@ def _decode_cols(col, R, ro, rd, inv_rd, t_best):
 
 
 def _pack_table(nodes, leaf_rows):
-    """One [C+L, 30] uint32 table: EXPANDED node rows (expand_nodes,
-    26->30 words) then leaf rows (bitcast f32->u32). A traversal iteration
-    needs EITHER a child-node row (descending lanes) OR a leaf row (leaf
-    lanes) — never both on the same lane — so a unified table keeps the
-    loop at one gather per iteration. Gather cost is width-free
-    (measured)."""
+    """One [C+L, 10K] uint32 table: EXPANDED node rows (expand_nodes,
+    26 words, zero-padded to the leaf-row width) then leaf rows (bitcast
+    f32->u32). A traversal iteration needs EITHER a child-node row
+    (descending lanes) OR a leaf row (leaf lanes) — never both on the
+    same lane — so a unified table keeps the loop at one gather per
+    iteration. Width K=3 (30) for cache-resident tables; fat K=6 rows
+    (60) ride the measured flat W>=60 gather mode on HBM-resident
+    tables."""
     exp = expand_nodes(nodes)
+    W = leaf_rows.shape[1]
     return jnp.concatenate(
-        [jnp.pad(exp, ((0, 0), (0, ROW_W - exp.shape[1]))),
+        [jnp.pad(exp, ((0, 0), (0, W - exp.shape[1]))),
          jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32)], axis=0)
 
 
@@ -457,9 +479,10 @@ def _step(unified, L, C, any_hit, st):
     # lanes, child node row for descending lanes)
     row_idx = jnp.where(leaf_lane, C + lrow,
                         jnp.where(descend, child, 0))
-    row = unified[row_idx]                              # [R,30] u32
+    row = unified[row_idx]                              # [R,10K] u32
+    K = _k_of(unified.shape[1])
 
-    if _PALLAS_STEP and ro.shape[0] % 1024 == 0:
+    if _PALLAS_STEP and K == 3 and ro.shape[0] % 1024 == 0:
         # fused Moller+decode in one VMEM kernel (kernels/step_pallas.py)
         from truetrace_tpu.kernels.step_pallas import step_core
         bc = jax.lax.bitcast_convert_type
@@ -493,12 +516,12 @@ def _step(unified, L, C, any_hit, st):
     # gathered row cost ~2x in relayout traffic (measured, BASELINE.md).
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
-    for j in range(3):
+    for j in range(K):
         b = 9 * j
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
-        tri_id = jax.lax.bitcast_convert_type(ucol(27 + j), jnp.int32)
+        tri_id = jax.lax.bitcast_convert_type(ucol(9 * K + j), jnp.int32)
         # Moller-Trumbore
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
@@ -747,6 +770,7 @@ def _step_transmit(unified, tint, L, C, st):
 
     row_idx = jnp.where(leaf_lane, C + lrow, jnp.where(descend, child, 0))
     row = unified[row_idx]
+    K = _k_of(unified.shape[1])
 
     # one shared u32 transpose (see _step)
     ucol = _row_cols(row)
@@ -754,12 +778,12 @@ def _step_transmit(unified, tint, L, C, st):
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     T = tint.shape[0]
-    for j in range(3):
+    for j in range(K):
         b = 9 * j
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
-        tri_id = jax.lax.bitcast_convert_type(ucol(27 + j), jnp.int32)
+        tri_id = jax.lax.bitcast_convert_type(ucol(9 * K + j), jnp.int32)
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
         pvz = rdx * e2y - rdy * e2x

@@ -199,13 +199,19 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   atlas_level_y: Optional[np.ndarray] = None,
                   max_leaf: int = 4, with_cwbvh: bool = False,
                   with_light_bvh: bool = False, terrain=None,
-                  presplit: float = 0.0) -> Scene:
+                  presplit: float = 0.0, leaf_k: int = 3) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS).
 
     presplit > 0 bisects triangles whose AABB half-area exceeds
     `presplit` x the scene mean before the BVH build (build/presplit.py
     — tighter trees, fewer traversal visits/ray on architectural
-    scenes); 0 = off."""
+    scenes); 0 = off.
+
+    leaf_k: triangles per CWBVH leaf slot / leaf row (3, 6 or 12). 3 is
+    the cache-resident default; 6 ("fat leaves", 60-word rows) rides the
+    flat W>=60 HBM gather mode and roughly halves leaf iterations on
+    scenes whose table exceeds the ~30 MB on-chip cache — use for
+    multi-million-triangle scenes (BASELINE.md round-3 width map)."""
     tris = flatten_meshes(meshes)
     if presplit > 0.0:
         from truetrace_tpu.build.presplit import presplit_triangles
@@ -213,8 +219,8 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     tri_box = aabb_ops.from_tris(
         tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
     if with_cwbvh:
-        # CWBVH collapse needs BVH2 leaves with <= 3 prims
-        bvh = build_bvh2(tri_box, max_leaf=3, sah_leaf_cap=3)
+        # CWBVH collapse needs BVH2 leaves with <= leaf_k prims
+        bvh = build_bvh2(tri_box, max_leaf=leaf_k, sah_leaf_cap=leaf_k)
     else:
         bvh = build_bvh2(tri_box, max_leaf=max_leaf)
 
@@ -225,7 +231,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
 
     if with_cwbvh:
         from truetrace_tpu.build.cwbvh import build_cwbvh
-        cw = build_cwbvh(bvh, tri_box[perm])
+        cw = build_cwbvh(bvh, tri_box[perm], p_max=leaf_k)
         # re-permute triangles into CWBVH emit order; remap BVH2 leaf starts
         # (each BVH2 leaf's tris stay contiguous in CWBVH order)
         for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
@@ -235,7 +241,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         from truetrace_tpu.kernels.cwbvh_wavefront import pack_leaf_rows
         nodes2, rows = pack_leaf_rows(
             cw.nodes, cw.slot_tri_base, cw.slot_tri_count,
-            tris["p0"], tris["e1"], tris["e2"])
+            tris["p0"], tris["e1"], tris["e2"], k=leaf_k)
         cw_nodes = jnp.asarray(nodes2)
         cw_tri_index = jnp.asarray(cw.tri_index)
         cw_leaf_rows = jnp.asarray(rows)
