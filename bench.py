@@ -96,6 +96,10 @@ def main():
     R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     detail_s = float(os.environ.get("BENCH_DETAIL", "5"))
+    # leaf_k=0 -> auto (fat 6-tri leaf rows above the cache cliff,
+    # see compile_scene); both bench scenes fit the cache so the pinned
+    # default stays 3 for cross-round comparability
+    leaf_k = int(os.environ.get("BENCH_LEAF_K", "3")) or None
 
     # pinned continuity scene: the round-1 atrium at detail 1.5 (293k)
     atrium_mrays = None
@@ -103,7 +107,8 @@ def main():
         from truetrace_tpu.scene import atrium
         meshes, mats, cam, env = atrium.make(
             detail=float(os.environ.get("BENCH_ATRIUM_DETAIL", "1.5")))
-        sc = compile_scene(meshes, mats, env=env, with_cwbvh=True)
+        sc = compile_scene(meshes, mats, env=env, with_cwbvh=True,
+                           leaf_k=leaf_k)
         atrium_mrays, _, _ = measure(sc, cam, R, iters)
         atrium_tris = sc.n_tris()
         del sc
@@ -117,7 +122,7 @@ def main():
             sponza_like.make(detail_s)
         sc = compile_scene(meshes, mats, env=env, atlas=atlas,
                            atlas_rects=rects, atlas_level_y=level_y,
-                           with_cwbvh=True)
+                           with_cwbvh=True, leaf_k=leaf_k)
         headline, wall, total = measure(sc, cam, R, iters)
         n_tris = sc.n_tris()
 

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def psnr(a, b):
     import numpy as np
     mse = float(np.mean((np.clip(a, 0, None) - np.clip(b, 0, None)) ** 2))
-    return 10.0 * np.log10(max(np.max(b) ** 2, 1e-9) / max(mse, 1e-12))
+    return float(10.0 * np.log10(max(float(np.max(b)) ** 2, 1e-9)
+                                 / max(mse, 1e-12)))
 
 
 def ssim(a, b):

@@ -199,7 +199,8 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   atlas_level_y: Optional[np.ndarray] = None,
                   max_leaf: int = 4, with_cwbvh: bool = False,
                   with_light_bvh: bool = False, terrain=None,
-                  presplit: float = 0.0, leaf_k: int = 3) -> Scene:
+                  presplit: float = 0.0,
+                  leaf_k: Optional[int] = 3) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS).
 
     presplit > 0 bisects triangles whose AABB half-area exceeds
@@ -211,13 +212,17 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     the cache-resident default; 6 ("fat leaves", 60-word rows) rides the
     flat W>=60 HBM gather mode and roughly halves leaf iterations on
     scenes whose table exceeds the ~30 MB on-chip cache — use for
-    multi-million-triangle scenes (BASELINE.md round-3 width map)."""
+    multi-million-triangle scenes (BASELINE.md round-3 width map).
+    None = auto: 6 above ~600k tris (where the k=3 table at ~50 B/tri
+    crosses the cache cliff), else 3."""
     tris = flatten_meshes(meshes)
     if presplit > 0.0:
         from truetrace_tpu.build.presplit import presplit_triangles
         tris = presplit_triangles(tris, max_ratio=presplit)
     tri_box = aabb_ops.from_tris(
         tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
+    if leaf_k is None:
+        leaf_k = 6 if tris["p0"].shape[0] > 600_000 else 3
     if with_cwbvh:
         # CWBVH collapse needs BVH2 leaves with <= leaf_k prims
         bvh = build_bvh2(tri_box, max_leaf=leaf_k, sah_leaf_cap=leaf_k)
