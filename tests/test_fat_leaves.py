@@ -60,17 +60,18 @@ def test_fat_build_structure():
 def test_fat_closest_matches_k3():
     p0, e1, e2 = random_tris(3000, seed=4)
     n3, r3, m3, s3, _ = _build_k(p0, e1, e2, 3)
-    n6, r6, m6, s6, _ = _build_k(p0, e1, e2, 6)
     ro, rd = _rays(2048, seed=5)
     h3 = closest_hit_wavefront(n3, r3, ro, rd, 1e30, max_stack=s3)
-    h6 = closest_hit_wavefront(n6, r6, ro, rd, 1e30, max_stack=s6)
-    np.testing.assert_allclose(np.asarray(h3.t), np.asarray(h6.t),
-                               rtol=1e-5, atol=1e-5)
     t3 = np.where(np.asarray(h3.tri) >= 0, m3[np.asarray(h3.tri)], -1)
-    t6 = np.where(np.asarray(h6.tri) >= 0, m6[np.asarray(h6.tri)], -1)
-    assert (t3 == t6).mean() > 0.999  # exact-tie hits may differ
-    np.testing.assert_allclose(np.asarray(h3.u)[t3 == t6],
-                               np.asarray(h6.u)[t3 == t6], atol=1e-5)
+    for k in (6, 12):
+        nk, rk, mk, sk, _ = _build_k(p0, e1, e2, k)
+        hk = closest_hit_wavefront(nk, rk, ro, rd, 1e30, max_stack=sk)
+        np.testing.assert_allclose(np.asarray(h3.t), np.asarray(hk.t),
+                                   rtol=1e-5, atol=1e-5)
+        tk = np.where(np.asarray(hk.tri) >= 0, mk[np.asarray(hk.tri)], -1)
+        assert (t3 == tk).mean() > 0.999  # exact-tie hits may differ
+        np.testing.assert_allclose(np.asarray(h3.u)[t3 == tk],
+                                   np.asarray(hk.u)[t3 == tk], atol=1e-5)
 
 
 def test_fat_any_hit_matches_k3():
