@@ -96,10 +96,10 @@ def main():
     R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     detail_s = float(os.environ.get("BENCH_DETAIL", "5"))
-    # leaf_k=0 -> auto (fat 6-tri leaf rows above the cache cliff,
-    # see compile_scene); both bench scenes fit the cache so the pinned
-    # default stays 3 for cross-round comparability
-    leaf_k = int(os.environ.get("BENCH_LEAF_K", "3")) or None
+    # leaf_k=0 -> auto (fat leaf rows, compile_scene): measured faster at
+    # BOTH bench scales (BASELINE.md round-3 fat-leaf tables), so auto is
+    # the default; BENCH_LEAF_K=3 reproduces the round-1/2 row layout
+    leaf_k = int(os.environ.get("BENCH_LEAF_K", "0")) or None
 
     # pinned continuity scene: the round-1 atrium at detail 1.5 (293k)
     atrium_mrays = None

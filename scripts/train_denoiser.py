@@ -64,12 +64,13 @@ def build_scene_mix(rng, holdout_only=False):
             out.append((f"cornell{si}", compile_scene(meshes, mats), cam,
                         dict(traversal="bvh2")))
         meshes, mats, cam0, env = atrium.make(detail=0.5)
-        sc = compile_scene(meshes, mats, env=env, with_cwbvh=True,
-                           with_light_bvh=True)
+        # bvh2 traversal: the denoiser only needs pixels, and the
+        # wavefront cascade's CPU LLVM compile transiently allocates
+        # enough to die on this box (twice) — keep training CPU-cheap
+        sc = compile_scene(meshes, mats, env=env)
         for ci, cam in enumerate(orbit_path((0, 3, 0), radius=9.0,
                                             height=4.0, n_frames=3)):
-            out.append((f"atrium{ci}", sc, cam,
-                        dict(traversal="wavefront", light_sampling="tree")))
+            out.append((f"atrium{ci}", sc, cam, dict(traversal="bvh2")))
 
     # HELD OUT: instanced boxes under an area light (never trained on)
     from truetrace_tpu.scene.instances import (compile_scene_instanced,

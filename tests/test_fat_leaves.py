@@ -131,6 +131,35 @@ def test_fat_native_matches_python():
         raise AssertionError("native fat build differs from python build")
 
 
+def test_fat_tlas_matches_k3():
+    """Instanced TLAS traversal with fat (k=6) BLAS rows == k=3 rows."""
+    from truetrace_tpu.kernels.cwbvh_tlas import closest_hit_tlas
+    from truetrace_tpu.scene.instances import build_instanced
+    from truetrace_tpu.scene.mesh import HostMesh
+
+    rng = np.random.default_rng(14)
+    p0, e1, e2 = random_tris(400, seed=14, spread=2.0, size=0.4)
+    verts = np.concatenate([p0, p0 + e1, p0 + e2], axis=0)
+    idx = np.arange(1200, dtype=np.int32).reshape(3, 400).T
+    src = HostMesh(verts.astype(np.float32), idx,
+                   np.zeros(400, np.int32))
+    insts = []
+    for i in range(6):
+        m = np.eye(4, dtype=np.float32)
+        m[3, :3] = rng.uniform(-4, 4, 3)
+        insts.append((0, m))
+    ro, rd = _rays(1024, seed=15)
+    hits = {}
+    for k in (3, 6):
+        isc = build_instanced([src], insts, leaf_k=k)
+        h = closest_hit_tlas(jnp.asarray(isc.cw_nodes),
+                             jnp.asarray(isc.leaf_rows),
+                             jnp.asarray(isc.inst_rows), ro, rd, 1e30)
+        hits[k] = h
+    np.testing.assert_allclose(np.asarray(hits[3].t),
+                               np.asarray(hits[6].t), rtol=1e-5, atol=1e-5)
+
+
 def test_compile_scene_fat_renders_same():
     """compile_scene(leaf_k=6) traces the same image as leaf_k=3."""
     from truetrace_tpu.scene.cornell import make

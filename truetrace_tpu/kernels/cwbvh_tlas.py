@@ -39,18 +39,20 @@ import numpy as np
 
 from truetrace_tpu.kernels.cwbvh_wavefront import (
     LEAF_MASK, MAX_STACK, PTR_MASK, ROW_W, U32, _decode_rows_to_group,
-    _extract_slot, _shift_pop, _shift_push, expand_nodes)
+    _extract_slot, _k_of, _shift_pop, _shift_push, expand_nodes)
 from truetrace_tpu.kernels.traverse_ref import Hit
 
 
 def pack_instance_rows(w2l: np.ndarray, node_offset: np.ndarray,
-                       inst_id: np.ndarray) -> np.ndarray:
-    """[I,30] f32 rows: W2L as 12 floats (3 rotation rows + translation,
-    scene/instances.py `_mat34` layout), BLAS root node id (bitcast i32 at
-    col 12), original instance id (col 13 — rows are stored in TLAS leaf
-    order). Host-side."""
+                       inst_id: np.ndarray,
+                       width: int = ROW_W) -> np.ndarray:
+    """[I,width] f32 rows: W2L as 12 floats (3 rotation rows +
+    translation, scene/instances.py `_mat34` layout), BLAS root node id
+    (bitcast i32 at col 12), original instance id (col 13 — rows are
+    stored in TLAS leaf order). Host-side. `width` matches the BLAS
+    leaf-row width (10K for fat leaf_k builds)."""
     I = w2l.shape[0]
-    rows = np.zeros((I, ROW_W), np.float32)
+    rows = np.zeros((I, width), np.float32)
     rows[:, 0:12] = w2l.reshape(I, 12)
     rows.view(np.int32)[:, 12] = node_offset.astype(np.int32)
     rows.view(np.int32)[:, 13] = inst_id.astype(np.int32)
@@ -162,9 +164,10 @@ def _step(unified, C, L, I, any_hit, st):
     row_idx = jnp.where(tri_lane, C + lrow,
                         jnp.where(enter_lane, C + L + irow,
                                   jnp.where(descend, child, 0)))
-    row = unified[row_idx]                              # [R,30] u32
+    row = unified[row_idx]                              # [R,10K] u32
+    K = _k_of(unified.shape[1])
 
-    # ---- 3a. triangle lanes: <=3 scalarized Moller tests in local space
+    # ---- 3a. triangle lanes: <=K scalarized Moller tests in local space
     # (t compared against t_best * scale)
     tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
     tcol = lambda k: tripf[:, k]
@@ -172,12 +175,13 @@ def _step(unified, C, L, I, any_hit, st):
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     inst_hit = st["inst"]
     t_loc = t_best * scale
-    for j in range(3):
+    for j in range(K):
         b = 9 * j
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
-        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
+        tri_id = jax.lax.bitcast_convert_type(row[:, 9 * K + j],
+                                              jnp.int32)
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
         pvz = rdx * e2y - rdy * e2x
@@ -329,15 +333,17 @@ def _step_transmit(unified, tint, C, L, I, st):
 
     tripf = jax.lax.bitcast_convert_type(row, jnp.float32)
     tcol = lambda k: tripf[:, k]
+    K = _k_of(unified.shape[1])
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     t_loc = t_best * scale
-    for j in range(3):
+    for j in range(K):
         b = 9 * j
         p0x, p0y, p0z = tcol(b), tcol(b + 1), tcol(b + 2)
         e1x, e1y, e1z = tcol(b + 3), tcol(b + 4), tcol(b + 5)
         e2x, e2y, e2z = tcol(b + 6), tcol(b + 7), tcol(b + 8)
-        tri_id = jax.lax.bitcast_convert_type(row[:, 27 + j], jnp.int32)
+        tri_id = jax.lax.bitcast_convert_type(row[:, 9 * K + j],
+                                              jnp.int32)
         pvx = rdy * e2z - rdz * e2y
         pvy = rdz * e2x - rdx * e2z
         pvz = rdx * e2y - rdy * e2x
@@ -421,8 +427,9 @@ def transmit_tlas(nodes, leaf_rows, inst_rows, tint, ro, rd, t_max,
     fallback for instanced scenes (pathtrace._transmission)."""
     C, L, I = nodes.shape[0], leaf_rows.shape[0], inst_rows.shape[0]
     exp = expand_nodes(nodes)
+    W = leaf_rows.shape[1]
     unified = jnp.concatenate(
-        [jnp.pad(exp, ((0, 0), (0, ROW_W - exp.shape[1]))),
+        [jnp.pad(exp, ((0, 0), (0, W - exp.shape[1]))),
          jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32),
          jax.lax.bitcast_convert_type(inst_rows, jnp.uint32)], axis=0)
     st = _init_state(unified, ro, rd, t_max, tlas_root, max_stack)
@@ -453,8 +460,9 @@ def _traverse_tlas(nodes, leaf_rows, inst_rows, ro, rd, t_max,
     C, L, I = nodes.shape[0], leaf_rows.shape[0], inst_rows.shape[0]
     assert C < (1 << 24) and L < (1 << 24)
     exp = expand_nodes(nodes)
+    W = leaf_rows.shape[1]
     unified = jnp.concatenate(
-        [jnp.pad(exp, ((0, 0), (0, ROW_W - exp.shape[1]))),
+        [jnp.pad(exp, ((0, 0), (0, W - exp.shape[1]))),
          jax.lax.bitcast_convert_type(leaf_rows, jnp.uint32),
          jax.lax.bitcast_convert_type(inst_rows, jnp.uint32)], axis=0)
     st = _init_state(unified, ro, rd, t_max, tlas_root, max_stack)

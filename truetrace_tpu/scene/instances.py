@@ -95,19 +95,21 @@ class SourceBuild(NamedTuple):
     local_boxes: np.ndarray  # [T,2,3]
 
 
-def build_source(mesh: HostMesh) -> SourceBuild:
+def build_source(mesh: HostMesh, leaf_k: int = 3) -> SourceBuild:
     """BLAS-build one source mesh (BVH2 -> CWBVH -> packed leaf rows) in
     local space. Pure function of the mesh — safe to run on a worker
-    thread and cache across rebuilds."""
+    thread and cache across rebuilds. leaf_k: tris per leaf row (fat
+    rows for big sources — see compile_scene)."""
     tris = flatten_meshes([mesh])
     box = aabb_ops.from_tris(tris["p0"], tris["p0"] + tris["e1"],
                              tris["p0"] + tris["e2"])
-    bvh = build_bvh2(box, max_leaf=3, sah_leaf_cap=3)
-    cw = build_cwbvh(bvh, box[bvh.order])
+    bvh = build_bvh2(box, max_leaf=leaf_k, sah_leaf_cap=leaf_k)
+    cw = build_cwbvh(bvh, box[bvh.order], p_max=leaf_k)
     perm = bvh.order[cw.tri_index]
     w, rows = pack_leaf_rows(cw.nodes, cw.slot_tri_base,
                              cw.slot_tri_count, tris["p0"][perm],
-                             tris["e1"][perm], tris["e2"][perm])
+                             tris["e1"][perm], tris["e2"][perm],
+                             k=leaf_k)
     return SourceBuild(nodes=w, rows=rows, p0=tris["p0"][perm],
                        e1=tris["e1"][perm], e2=tris["e2"][perm],
                        mat=tris["mat"][perm], n=tris["n"][perm],
@@ -118,10 +120,11 @@ def build_source(mesh: HostMesh) -> SourceBuild:
 def build_instanced(sources: Sequence[HostMesh],
                     instances: Sequence[Tuple[int, np.ndarray]],
                     prebuilt: Optional[Sequence[SourceBuild]] = None,
-                    ) -> InstancedScene:
+                    leaf_k: int = 3) -> InstancedScene:
     """sources: one HostMesh per unique geometry (local space);
     instances: (source_id, l2w 4x4) pairs. prebuilt: optional per-source
-    BLAS builds (AssetManager background pool) — skips rebuild."""
+    BLAS builds (AssetManager background pool) — skips rebuild (they
+    must share this leaf_k)."""
     nodes_list, row_list = [], []
     p0l, e1l, e2l, matl = [], [], [], []
     nl, uvl, tanl = [], [], []
@@ -130,14 +133,16 @@ def build_instanced(sources: Sequence[HostMesh],
     n_off = t_off = l_off = 0
     for si, mesh in enumerate(sources):
         sb = (prebuilt[si] if prebuilt is not None and
-              prebuilt[si] is not None else build_source(mesh))
+              prebuilt[si] is not None else build_source(mesh, leaf_k))
         # relocate node child/leaf pointers + global tri ids by the
         # aggregate offsets
         w = sb.nodes.copy()
         rows = sb.rows.copy()
+        assert rows.shape[1] == 10 * leaf_k, \
+            "prebuilt SourceBuild leaf_k mismatch"
         w[:, 4] += n_off
         w[:, 5] += l_off
-        idv = rows.view(np.int32)[:, 27:30]
+        idv = rows.view(np.int32)[:, 9 * leaf_k: 10 * leaf_k]
         idv[idv >= 0] += t_off
         nodes_list.append(w)
         row_list.append(rows)
@@ -193,7 +198,8 @@ def build_instanced(sources: Sequence[HostMesh],
     n_tlas = tlas_nodes.shape[0]
     row_inst = inst_perm[cw_t.slot_tri_base[mask]]   # instance per row
     inst_rows = pack_instance_rows(
-        w2l_np[row_inst], n_off_np[row_inst] + n_tlas, row_inst)
+        w2l_np[row_inst], n_off_np[row_inst] + n_tlas, row_inst,
+        width=10 * leaf_k)
     blas_nodes = np.concatenate(nodes_list)
     blas_nodes[:, 4] += n_tlas
 
@@ -298,7 +304,7 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
                             env=None, lights=None, atlas=None,
                             atlas_rects=None, atlas_level_y=None,
                             with_light_bvh: bool = False,
-                            prebuilt=None):
+                            prebuilt=None, leaf_k: int = 3):
     """Build a full render-ready Scene for an instanced world: shared
     local-space BLASes + an interleaved TLAS (traversal="tlas"), with
     materials/normals/UVs/NEE all wired through the integrator — the
@@ -311,7 +317,8 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         AnalyticLights, EnvMap, LightTris, MeshTable, Scene)
     from truetrace_tpu.scene.mesh import material_table
 
-    isc = build_instanced(sources, instances, prebuilt=prebuilt)
+    isc = build_instanced(sources, instances, prebuilt=prebuilt,
+                          leaf_k=leaf_k)
     l2w_np = np.asarray(isc.l2w)
     app, em_rank, light_offset = _world_light_tris(isc, mats, l2w_np)
     T_local = int(np.asarray(isc.tri_mat).shape[0])
@@ -461,7 +468,8 @@ def update_instance_transforms(scene, isc: InstancedScene, mats,
         "TLAS node count changed; rebuild via compile_scene_instanced"
     row_inst = inst_perm[cw_t.slot_tri_base[mask]]
     inst_rows = pack_instance_rows(w2l_rows[row_inst],
-                                   np.asarray(n_offs)[row_inst], row_inst)
+                                   np.asarray(n_offs)[row_inst], row_inst,
+                                   width=scene.cw_leaf_rows.shape[1])
     # TLAS children stay within rows [0, n_tlas); BLAS pointers in the
     # untouched tail already carry the +n_tlas shift from build time
 

@@ -222,11 +222,10 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     tri_box = aabb_ops.from_tris(
         tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
     if leaf_k is None:
-        T_auto = tris["p0"].shape[0]
-        # measured at 5.2M tris: k3 0.75 / k6 1.90 / k12 2.12 Mrays/s
-        # (BASELINE.md round-3 fat-leaf table)
-        leaf_k = 12 if T_auto > 3_000_000 else \
-            6 if T_auto > 600_000 else 3
+        # k12 measured fastest at BOTH 293k (4.52 vs 3.92 Mrays/s) and
+        # 5.2M tris (2.12 vs 0.75) — BASELINE.md round-3 fat-leaf
+        # tables; below ~250k is unmeasured, keep the k3 layout
+        leaf_k = 12 if tris["p0"].shape[0] > 250_000 else 3
     if with_cwbvh:
         # CWBVH collapse needs BVH2 leaves with <= leaf_k prims
         bvh = build_bvh2(tri_box, max_leaf=leaf_k, sah_leaf_cap=leaf_k)
