@@ -150,14 +150,18 @@ def test_fat_tlas_matches_k3():
         insts.append((0, m))
     ro, rd = _rays(1024, seed=15)
     hits = {}
+    insts_out = {}
     for k in (3, 6):
         isc = build_instanced([src], insts, leaf_k=k)
-        h = closest_hit_tlas(jnp.asarray(isc.cw_nodes),
-                             jnp.asarray(isc.leaf_rows),
-                             jnp.asarray(isc.inst_rows), ro, rd, 1e30)
+        h, inst = closest_hit_tlas(jnp.asarray(isc.cw_nodes),
+                                   jnp.asarray(isc.leaf_rows),
+                                   jnp.asarray(isc.inst_rows), ro, rd, 1e30)
         hits[k] = h
+        insts_out[k] = inst
     np.testing.assert_allclose(np.asarray(hits[3].t),
                                np.asarray(hits[6].t), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(insts_out[3]),
+                                  np.asarray(insts_out[6]))
 
 
 def test_compile_scene_fat_renders_same():

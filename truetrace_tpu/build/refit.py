@@ -40,11 +40,14 @@ def _pack_bytes4(b0, b1, b2, b3):
 
 def refit_cwbvh(nodes, tri_p0, tri_e1, tri_e2,
                 slot_child, slot_tri_base, slot_tri_count,
-                levels: Tuple[np.ndarray, ...]):
+                levels: Tuple[np.ndarray, ...], leaf_k: int = 3):
     """Recompute all node bounds for updated triangle arrays.
 
     nodes [C,20] u32; tri_* [T,3] (CWBVH order); slot_* from the builder;
-    levels from `level_worklists`. Returns (new_nodes, root_aabb [2,3])."""
+    levels from `level_worklists`; leaf_k = max tris per leaf slot (the
+    builder's p_max — pass the fat-leaf K for leaf_k>3 builds or the
+    refit bounds silently miss tris 4..K). Returns (new_nodes,
+    root_aabb [2,3])."""
     C = nodes.shape[0]
     T = tri_p0.shape[0]
     node_lo = jnp.full((C, 3), INF)
@@ -59,10 +62,10 @@ def refit_cwbvh(nodes, tri_p0, tri_e1, tri_e2,
         stb = slot_tri_base[ids]
         stc = slot_tri_count[ids]
 
-        # leaf-slot boxes: union of up to 3 tris
+        # leaf-slot boxes: union of up to leaf_k tris
         leaf_lo = jnp.full((K, 8, 3), INF)
         leaf_hi = jnp.full((K, 8, 3), -INF)
-        for j in range(3):
+        for j in range(leaf_k):
             tid = jnp.clip(stb + j, 0, T - 1)
             p0 = tri_p0[tid]
             p1 = p0 + tri_e1[tid]

@@ -107,7 +107,11 @@ def _traverse(nodes, p0, e1, e2, ro, rd, t_max, any_hit, max_stack):
         rank = jax.lax.population_count(below).astype(jnp.int32)
         child_id = nd["base_child"][:, None] + rank
 
-        # ---- leaf slots: masked triangle tests (3 per slot max)
+        # ---- leaf slots: masked triangle tests (3 per slot max).
+        # CLASSIC meta decode only: on a fat-leaf build (p_max>3) the
+        # marker byte 0b1000_0000|s would decode as count=1/offset=s and
+        # silently mis-intersect — fat builds must use the K-aware *_rows
+        # variants (guarded at the jit boundary in closest/any_hit_cwbvh).
         count8 = jax.lax.population_count(nd["meta"] >> 5).astype(jnp.int32)
         off8 = (nd["meta"] & U32(0x1F)).astype(jnp.int32)
         leaf_hit = hit8 & ~is_int
@@ -144,21 +148,49 @@ def _traverse(nodes, p0, e1, e2, ro, rd, t_max, any_hit, max_stack):
     return Hit(t=st[2], tri=st[3], u=st[4], v=st[5])
 
 
-@partial(jax.jit, static_argnames=("max_stack",))
+def _assert_classic_meta(nodes):
+    """Guard: these oracles decode the CLASSIC meta byte only. A fat-leaf
+    build (builder p_max>3) emits marker bytes 0b100xxxxx that would
+    silently mis-decode as count=1 leaves — refuse them up front.
+    Only runs when `nodes` is concrete (skipped under an outer trace)."""
+    if isinstance(nodes, jax.core.Tracer):
+        return
+    w = np.asarray(nodes[:, 6:8])
+    meta = np.stack([(w >> (8 * k)) & 0xFF for k in range(4)], axis=-1)
+    if np.any((meta >> 5) == 0b100):
+        raise ValueError(
+            "cwbvh_ref classic-meta oracle given a fat-leaf (p_max>3) "
+            "build; use the K-aware *_rows variants instead.")
+
+
+_closest_hit_cwbvh = partial(jax.jit, static_argnames=("max_stack",))(
+    lambda nodes, p0, e1, e2, ro, rd, t_max, max_stack=MAX_STACK:
+    _traverse(nodes, p0, e1, e2, ro, rd, t_max, False, max_stack))
+
+
 def closest_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
                       max_stack: int = MAX_STACK) -> Hit:
     """Closest-hit via CWBVH on RAW builder nodes (word 5 = base_tri).
     p0/e1/e2 must be in CWBVH leaf order (permuted by CWBVH.tri_index).
 
     NOTE: `compile_scene` ships nodes patched by pack_leaf_rows (word 5 =
-    base LEAF-ROW index) — use the `*_rows` variants for those."""
-    return _traverse(nodes, p0, e1, e2, ro, rd, t_max, False, max_stack)
+    base LEAF-ROW index) — use the `*_rows` variants for those. Classic
+    p_max<=3 meta decode only; fat builds are rejected."""
+    _assert_classic_meta(nodes)
+    return _closest_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
+                              max_stack=max_stack)
 
 
-@partial(jax.jit, static_argnames=("max_stack",))
+_any_hit_cwbvh = partial(jax.jit, static_argnames=("max_stack",))(
+    lambda nodes, p0, e1, e2, ro, rd, t_max, max_stack=MAX_STACK:
+    _traverse(nodes, p0, e1, e2, ro, rd, t_max, True, max_stack))
+
+
 def any_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
                   max_stack: int = MAX_STACK):
-    hit = _traverse(nodes, p0, e1, e2, ro, rd, t_max, True, max_stack)
+    _assert_classic_meta(nodes)
+    hit = _any_hit_cwbvh(nodes, p0, e1, e2, ro, rd, t_max,
+                         max_stack=max_stack)
     return hit.tri >= 0
 
 

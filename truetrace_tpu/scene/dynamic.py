@@ -123,7 +123,8 @@ def pose_scene(dyn: DynamicScene, bones: jnp.ndarray) -> Scene:
 
     nodes2, _ = refit_cwbvh(
         dyn.scene.cw_nodes, p0c, e1c, e2c,
-        dyn.slot_child, dyn.slot_tri_base, dyn.slot_tri_count, dyn.levels)
+        dyn.slot_child, dyn.slot_tri_base, dyn.slot_tri_count, dyn.levels,
+        leaf_k=dyn.scene.cw_leaf_rows.shape[1] // 10)
     rows = pack_leaf_rows_jax(dyn.flat_base, dyn.flat_count, p0c, e1c, e2c,
                               k=dyn.scene.cw_leaf_rows.shape[1] // 10)
 

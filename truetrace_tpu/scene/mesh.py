@@ -213,8 +213,8 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     flat W>=60 HBM gather mode and roughly halves leaf iterations on
     scenes whose table exceeds the ~30 MB on-chip cache — use for
     multi-million-triangle scenes (BASELINE.md round-3 width map).
-    None = auto: 6 above ~600k tris (where the k=3 table at ~50 B/tri
-    crosses the cache cliff), else 3."""
+    None = auto: 12 above 250k tris (k12 measured fastest at both 293k
+    and 5.2M tris, BASELINE.md round-3 fat-leaf tables), else 3."""
     tris = flatten_meshes(meshes)
     if presplit > 0.0:
         from truetrace_tpu.build.presplit import presplit_triangles
