@@ -601,17 +601,25 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         # ---- texture fetches (atlas; reference samples its packed atlas
         # rects in kernel_shade, RayTracingShader.compute:630-649)
         if scene.atlas_rects.shape[0] > 0:
-            from truetrace_tpu.scene.atlas import sample_atlas
+            from truetrace_tpu.scene.atlas import sample_atlas, transform_uv
             uv0 = scene.tri_uv[tid]
             uv = (uv0[:, 0] * w[..., None] + uv0[:, 1] * hit.u[..., None]
                   + uv0[:, 2] * hit.v[..., None])
             if scene.terrain is not None:
                 uv = jnp.where(ter_take[..., None], th.uv, uv)
+            # per-material UV transforms (reference AlignUV call sites,
+            # RayTracingShader.compute:623-627): albedo/emission/matcap
+            # use uv_scale; normal/metallic/roughness use uv2_scale with
+            # the shared offset
+            uv_a = transform_uv(uv, mat.uv_scale, mat.uv_rot)
+            uv_s = transform_uv(
+                uv, jnp.concatenate([mat.uv2_scale, mat.uv_scale[:, 2:4]],
+                                    axis=1), mat.uv_rot)
             # tangent-space normal mapping (reference normal-map path,
             # RayTracingShader.compute:129-159; tangents built like the
             # CudaTriangle octahedral tangents, CommonVars.cs:437-456)
             nm = sample_atlas(scene.atlas, scene.atlas_rects,
-                              mat.tex_normal, uv)
+                              mat.tex_normal, uv_s)
             tan = scene.tri_tan[tid]
             if scene.inst_l2w is not None:
                 rot_t = scene.inst_l2w[jnp.maximum(inst, 0)][:, :, :3]
@@ -623,15 +631,22 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 jnp.linalg.norm(t_, axis=-1, keepdims=True), 1e-8)
             b_ = cross(sn, t_)
             n_ts = nm[:, :3] * 2.0 - 1.0
-            sn_m = normalize(t_ * n_ts[:, 0:1] + b_ * n_ts[:, 1:2]
-                             + sn * jnp.maximum(n_ts[:, 2:3], 0.05))
+            # NormalStrength scales the tangent-plane deflection
+            # (reference RayTracingShader.compute:134: strength * sample
+            # recentred); z is rebuilt so the map renormalizes cleanly
+            ns = mat.normal_strength[:, None]
+            n_xy = n_ts[:, 0:2] * ns
+            n_z = jnp.sqrt(jnp.maximum(
+                1.0 - jnp.sum(n_xy * n_xy, axis=-1, keepdims=True), 0.0025))
+            sn_m = normalize(t_ * n_xy[:, 0:1] + b_ * n_xy[:, 1:2]
+                             + sn * n_z)
             use_nm = (mat.tex_normal >= 0) & tan_ok & hit_ok
             sn = jnp.where(use_nm[..., None], sn_m, sn)
             width = cone_w + hit.t * cone_s
             lod = (scene.tri_lod[tid] + jnp.log2(jnp.maximum(width, 1e-12))
                    - jnp.log2(jnp.maximum(jnp.abs(dot(rd, gn)), 0.05)))
             alb = sample_atlas(scene.atlas, scene.atlas_rects,
-                               mat.tex_albedo, uv, lod=lod,
+                               mat.tex_albedo, uv_a, lod=lod,
                                level_y=scene.atlas_level_y)
             tex_col = mat.base_color * alb[:, :3]
             # texture adjustment chain on the fetched albedo (reference
@@ -647,14 +662,36 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             mat = mat.replace(alpha=jnp.where(
                 mat.tex_albedo >= 0, mat.alpha * alb[:, 3], mat.alpha))
             rm = sample_atlas(scene.atlas, scene.atlas_rects,
-                              mat.tex_rough_metal, uv)
+                              mat.tex_rough_metal, uv_s)
             mat = mat.replace(
                 roughness=jnp.where(mat.tex_rough_metal >= 0,
                                     mat.roughness * rm[:, 1], mat.roughness),
                 metallic=jnp.where(mat.tex_rough_metal >= 0,
                                    mat.metallic * rm[:, 2], mat.metallic))
+            # separate single-channel overrides (reference MetallicTex /
+            # RoughnessTex fetches, RayTracingShader.compute:654-657:
+            # replace, metallic gated off for full spec_trans, roughness
+            # optionally inverted smoothness)
+            mtl = sample_atlas(scene.atlas, scene.atlas_rects,
+                               mat.tex_metallic, uv_s)
+            mat = mat.replace(metallic=jnp.where(
+                (mat.tex_metallic >= 0) & (mat.spec_trans < 1.0),
+                mtl[:, 0], mat.metallic))
+            rgh = sample_atlas(scene.atlas, scene.atlas_rects,
+                               mat.tex_roughness, uv_s)
+            rgh_v = jnp.where(mat.rough_tex_invert > 0.5,
+                              1.0 - rgh[:, 0], rgh[:, 0])
+            mat = mat.replace(roughness=jnp.where(
+                mat.tex_roughness >= 0, jnp.clip(rgh_v, 0.0, 1.0),
+                mat.roughness))
+            # dedicated alpha texture (reference AlphaTex cutout fetch,
+            # IntersectionKernels.compute:38-39)
+            alp = sample_atlas(scene.atlas, scene.atlas_rects,
+                               mat.tex_alpha, uv_s)
+            mat = mat.replace(alpha=jnp.where(
+                mat.tex_alpha >= 0, mat.alpha * alp[:, 0], mat.alpha))
             em = sample_atlas(scene.atlas, scene.atlas_rects,
-                              mat.tex_emission, uv)
+                              mat.tex_emission, uv_a)
             mat = mat.replace(emission=jnp.where(
                 (mat.tex_emission >= 0)[..., None],
                 mat.emission * em[:, :3], mat.emission))
@@ -664,13 +701,24 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 # RayTracingShader.compute:129-159)
                 vx = dot(sn, cam.c2w[0, :3])
                 vy = dot(sn, cam.c2w[1, :3])
-                uv_m = jnp.stack([vx, vy], -1) * 0.5 + 0.5
+                uv_m = transform_uv(jnp.stack([vx, vy], -1) * 0.5 + 0.5,
+                                    mat.uv_scale, mat.uv_rot)
                 mc = sample_atlas(scene.atlas, scene.atlas_rects,
                                   mat.tex_matcap, uv_m)
                 use_mc = (mat.tex_matcap >= 0) & (b == 0)
+                # MatCapMask: lerp base -> matcap by the mask channel
+                # (reference RayTracingShader.compute:152-157); no mask
+                # keeps the multiply blend
+                mk = sample_atlas(scene.atlas, scene.atlas_rects,
+                                  mat.tex_matcap_mask, uv_a)
+                has_mask = (mat.tex_matcap_mask >= 0)
+                mc_col = jnp.where(
+                    has_mask[..., None],
+                    mat.base_color + (mc[:, :3] - mat.base_color)
+                    * mk[:, 0:1],
+                    mat.base_color * mc[:, :3])
                 mat = mat.replace(base_color=jnp.where(
-                    use_mc[..., None], mat.base_color * mc[:, :3],
-                    mat.base_color))
+                    use_mc[..., None], mc_col, mat.base_color))
 
         # ---- roughness/metallic remap ranges (reference
         # RayTracingShader.compute:654-662; (0,1) = identity)
@@ -694,7 +742,15 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         # medium state needed: closed glass guarantees the previous
         # vertex was the entry face.
         exiting = hit_ok & ~front & (mat.spec_trans > 0.0) & (mat.thin < 0.5)
-        app = jnp.clip(1.0 - mat.base_color, 0.0, 1.0)
+        # apparent interior color: the authored TransmittanceColor when
+        # present (reference keys CalculateExtinction on it,
+        # CommonVars.cs:109 + RayTracingShader.compute:640), else derived
+        # from the surface tint so untinted assets keep round-3 behavior
+        authored = jnp.all(mat.transmit_color >= 0.0, axis=-1,
+                           keepdims=True)
+        app = jnp.where(authored,
+                        jnp.clip(1.0 - mat.transmit_color, 0.0, 1.0),
+                        jnp.clip(1.0 - mat.base_color, 0.0, 1.0))
         s_ext = 1.9 - app + 3.5 * (app - 0.8) ** 2
         sd = jnp.where(mat.scatter_dist <= 0.0, 1.0, mat.scatter_dist)
         # deviation from the reference formula at app == 0 exactly: a

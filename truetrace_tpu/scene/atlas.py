@@ -119,6 +119,23 @@ class AtlasBuilder:
         return np.concatenate(padded, axis=0), rects, level_y
 
 
+def transform_uv(uv, scale_offset, rot):
+    """Per-material UV transform (reference AlignUV,
+    CommonData.cginc:569-591): uv' = uv * scale.xy + offset.zw, wrapped,
+    then rotated by `rot` radians about (0.5, 0.5) and re-wrapped.
+
+    uv [R,2]; scale_offset [R,4] (sx, sy, ox, oy); rot [R] radians.
+    Identity rows ((1,1,0,0), rot 0) pass uv through bit-near-exactly
+    (wrapping is deferred to sample_atlas's own repeat)."""
+    out = uv * scale_offset[:, 0:2] + scale_offset[:, 2:4]
+    s = jnp.sin(rot)[:, None]
+    c = jnp.cos(rot)[:, None]
+    w = out % 1.0 - 0.5
+    rot_uv = jnp.concatenate([w[:, 0:1] * c - w[:, 1:2] * s,
+                              w[:, 0:1] * s + w[:, 1:2] * c], axis=1) + 0.5
+    return jnp.where((rot != 0.0)[:, None], rot_uv % 1.0, out)
+
+
 def sample_atlas(atlas: jnp.ndarray, rects: jnp.ndarray, tex_id, uv,
                  bilinear: bool = True, lod=None,
                  level_y: Optional[jnp.ndarray] = None):

@@ -171,6 +171,24 @@ def load_gltf(path: str, atlas_builder=None, auto_pair: bool = False,
             "KHR_materials_transmission", {}).get("transmissionFactor", 0.0)
         ior = m.get("extensions", {}).get(
             "KHR_materials_ior", {}).get("ior", 1.5)
+        # KHR_materials_volume -> authored glass interior (reference
+        # TransmittanceColor + scatterDistance, CommonVars.cs:109,129)
+        vol = m.get("extensions", {}).get("KHR_materials_volume", {})
+        att_col = vol.get("attenuationColor")
+        att_dist = vol.get("attenuationDistance", 0.0)
+        # KHR_texture_transform on the baseColor texture -> per-material
+        # UV transform (reference AlbedoTextureScale/Rotation,
+        # CommonVars.cs:123-136); secondary scale from the
+        # metallicRoughness texture's transform
+        def _tt(tinfo):
+            return (tinfo or {}).get("extensions", {}).get(
+                "KHR_texture_transform", {})
+        tt = _tt(pbr.get("baseColorTexture"))
+        sc = tt.get("scale", [1.0, 1.0])
+        off = tt.get("offset", [0.0, 0.0])
+        rot = float(tt.get("rotation", 0.0))
+        tt2 = _tt(pbr.get("metallicRoughnessTexture"))
+        sc2 = tt2.get("scale", sc)
         mats.append(HostMaterial(
             base_color=tuple(bc[:3]),
             emission=tuple(np.asarray(emis) * strength),
@@ -178,6 +196,18 @@ def load_gltf(path: str, atlas_builder=None, auto_pair: bool = False,
             metallic=float(pbr.get("metallicFactor", 1.0)),
             spec_trans=float(trans), ior=float(ior),
             alpha=float(bc[3]) if len(bc) > 3 else 1.0,
+            transmit_color=(tuple(att_col[:3]) if att_col is not None
+                            else (-1.0, -1.0, -1.0)),
+            scatter_dist=float(att_dist),
+            uv_scale=(float(sc[0]), float(sc[1]),
+                      float(off[0]), float(off[1])),
+            uv2_scale=(float(sc2[0]), float(sc2[1])),
+            # glTF rotates CW about the uv origin; our transform rotates
+            # about (0.5, 0.5) — exact for 90-degree multiples of tiled
+            # textures, approximate otherwise
+            uv_rot=-rot,
+            normal_strength=float(
+                (m.get("normalTexture") or {}).get("scale", 1.0)),
             tex_albedo=tex_id(pbr.get("baseColorTexture")),
             tex_normal=tex_id(m.get("normalTexture")),
             tex_rough_metal=tex_id(pbr.get("metallicRoughnessTexture")),

@@ -52,10 +52,31 @@ class MaterialTable:
     tex_albedo: jnp.ndarray       # [M] int32 atlas slot, -1 = none
     tex_normal: jnp.ndarray       # [M]
     tex_emission: jnp.ndarray     # [M]
-    tex_rough_metal: jnp.ndarray  # [M]
+    tex_rough_metal: jnp.ndarray  # [M] combined glTF metallicRoughness
     tex_matcap: jnp.ndarray       # [M] view-normal-indexed matcap
                                   # (reference calcFinalColor matcap path,
                                   # RayTracingShader.compute:129-159)
+    # separate single-channel slots (reference's 8 bindings,
+    # CommonVars.cs:96-103: MetallicTex/RoughnessTex/AlphaTex/MatCapMask);
+    # channel 0 of the RGBA atlas texel is the value
+    tex_metallic: jnp.ndarray     # [M] replaces metallic when >= 0
+    tex_roughness: jnp.ndarray    # [M] replaces roughness when >= 0
+    tex_alpha: jnp.ndarray        # [M] multiplies cutout alpha when >= 0
+    tex_matcap_mask: jnp.ndarray  # [M] lerp weight for the matcap blend
+    rough_tex_invert: jnp.ndarray  # [M] 0/1: roughness tex is smoothness
+                                   # (reference InvertSmoothnessTexture tag)
+
+    # per-material UV transform (reference AlbedoTextureScale /
+    # SecondaryTextureScale / Rotation, CommonVars.cs:123-136, applied in
+    # AlignUV CommonData.cginc:569-591): uv' = rot(uv * scale + offset).
+    # uv_scale feeds albedo/emission/matcap(mask); uv2_scale replaces its
+    # scale.xy for the normal/metallic/roughness/alpha fetches.
+    uv_scale: jnp.ndarray         # [M,4] (sx, sy, ox, oy)
+    uv2_scale: jnp.ndarray        # [M,2] secondary (sx, sy)
+    uv_rot: jnp.ndarray           # [M] radians about uv (0.5, 0.5)
+    normal_strength: jnp.ndarray  # [M] normal-map intensity (1 = full;
+                                  # reference NormalStrength CommonVars.cs:127,
+                                  # RayTracingShader.compute:134)
 
     # texture adjustment pipeline applied to the albedo fetch (reference
     # kernel_shade hue/brightness/saturation/contrast/blend,
@@ -73,6 +94,11 @@ class MaterialTable:
     # scatterDistance, Materials.cginc:350 CalculateExtinction — 0 is
     # treated as 1): extinction sigma = 1 / (s(1-base_color) * dist)
     scatter_dist: jnp.ndarray     # [M]
+    # dedicated glass interior apparent color (reference
+    # TransmittanceColor, CommonVars.cs:109, fed to CalculateExtinction
+    # at RayTracingShader.compute:640). Any component < 0 = unauthored:
+    # derive from 1 - base_color so surface tint doubles as absorption.
+    transmit_color: jnp.ndarray   # [M,3]
 
     @staticmethod
     def make(n: int) -> "MaterialTable":
@@ -95,8 +121,16 @@ class MaterialTable:
             contrast=jnp.ones((n,), jnp.float32),
             blend_color=f(3), blend_factor=f(),
             rough_remap=remap01, metal_remap=remap01, scatter_dist=f(),
+            transmit_color=jnp.full((n, 3), -1.0, jnp.float32),
             tex_albedo=i(), tex_normal=i(), tex_emission=i(),
             tex_rough_metal=i(), tex_matcap=i(),
+            tex_metallic=i(), tex_roughness=i(), tex_alpha=i(),
+            tex_matcap_mask=i(), rough_tex_invert=f(),
+            uv_scale=jnp.broadcast_to(
+                jnp.asarray([1.0, 1.0, 0.0, 0.0], jnp.float32), (n, 4)),
+            uv2_scale=jnp.ones((n, 2), jnp.float32),
+            uv_rot=f(),
+            normal_strength=jnp.ones((n,), jnp.float32),
         )
 
     def n_materials(self) -> int:

@@ -64,7 +64,9 @@ def load_manifest(path: str):
             spec = doc.get("materials", {}).get(name, {})
             kw = {k: (tuple(v) if isinstance(v, list) else v)
                   for k, v in spec.items() if not k.startswith("tex_file")}
-            for slot in ("albedo", "normal", "emission"):
+            for slot in ("albedo", "normal", "emission", "rough_metal",
+                         "metallic", "roughness", "alpha", "matcap",
+                         "matcap_mask"):
                 fkey = f"tex_file_{slot}"
                 if fkey in spec:
                     from PIL import Image

@@ -62,11 +62,25 @@ class HostMaterial:
     rough_remap: tuple = (0.0, 1.0)
     metal_remap: tuple = (0.0, 1.0)
     scatter_dist: float = 0.0              # glass interior scatter distance
+    transmit_color: tuple = (-1.0, -1.0, -1.0)  # authored glass interior
+                                           # apparent color; negative =
+                                           # derive from 1 - base_color
+    # per-material UV transform (reference AlbedoTextureScale /
+    # SecondaryTextureScale / Rotation, CommonVars.cs:123-136)
+    uv_scale: tuple = (1.0, 1.0, 0.0, 0.0)  # (sx, sy, ox, oy)
+    uv2_scale: tuple = (1.0, 1.0)          # normal/metal/rough/alpha scale
+    uv_rot: float = 0.0                    # radians about uv (0.5, 0.5)
+    normal_strength: float = 1.0           # normal-map intensity
+    rough_tex_invert: float = 0.0          # roughness tex is smoothness
     tex_albedo: int = -1
     tex_normal: int = -1
     tex_emission: int = -1
     tex_rough_metal: int = -1
     tex_matcap: int = -1
+    tex_metallic: int = -1                 # single-channel overrides
+    tex_roughness: int = -1
+    tex_alpha: int = -1
+    tex_matcap_mask: int = -1
 
 
 def material_table(mats: List[HostMaterial]) -> MaterialTable:
@@ -92,10 +106,18 @@ def material_table(mats: List[HostMaterial]) -> MaterialTable:
         blend_color=col("blend_color"), blend_factor=col("blend_factor"),
         rough_remap=col("rough_remap"), metal_remap=col("metal_remap"),
         scatter_dist=col("scatter_dist"),
+        transmit_color=col("transmit_color"),
+        uv_scale=col("uv_scale"), uv2_scale=col("uv2_scale"),
+        uv_rot=col("uv_rot"), normal_strength=col("normal_strength"),
+        rough_tex_invert=col("rough_tex_invert"),
         tex_albedo=icol("tex_albedo"), tex_normal=icol("tex_normal"),
         tex_emission=icol("tex_emission"),
         tex_rough_metal=icol("tex_rough_metal"),
         tex_matcap=icol("tex_matcap"),
+        tex_metallic=icol("tex_metallic"),
+        tex_roughness=icol("tex_roughness"),
+        tex_alpha=icol("tex_alpha"),
+        tex_matcap_mask=icol("tex_matcap_mask"),
     )
 
 

@@ -30,7 +30,8 @@ def _parse_mtl(path: str, tex_paths: Optional[Dict[str, dict]] = None
     name = None
     _TEXKEYS = {"map_kd": "tex_albedo", "map_ke": "tex_emission",
                 "map_bump": "tex_normal", "bump": "tex_normal",
-                "norm": "tex_normal", "map_pr": "tex_rough_metal"}
+                "norm": "tex_normal", "map_pr": "tex_rough_metal",
+                "map_d": "tex_alpha", "map_pm": "tex_metallic"}
     with open(path, "r", errors="replace") as f:
         for line in f:
             t = line.strip().split()
@@ -48,6 +49,19 @@ def _parse_mtl(path: str, tex_paths: Optional[Dict[str, dict]] = None
                     # last token is the filename (skip -options)
                     tex_paths.setdefault(name, {})[_TEXKEYS[t[0].lower()]] \
                         = os.path.join(base, t[-1])
+                # map statement -o/-s options -> per-material UV
+                # offset/scale (applied to every map of the material —
+                # MTL has no per-map transform split; reference analogue
+                # AlbedoTextureScale, CommonVars.cs:123)
+                uvt = list(cur.get("uv_scale", (1.0, 1.0, 0.0, 0.0)))
+                for oi, tok in enumerate(t[1:-1], start=1):
+                    if tok == "-s" and len(t) > oi + 2:
+                        uvt[0], uvt[1] = float(t[oi + 1]), float(t[oi + 2])
+                    elif tok == "-o" and len(t) > oi + 2:
+                        uvt[2], uvt[3] = float(t[oi + 1]), float(t[oi + 2])
+                if uvt != [1.0, 1.0, 0.0, 0.0]:
+                    cur["uv_scale"] = tuple(uvt)
+                    cur["uv2_scale"] = (uvt[0], uvt[1])
             elif t[0] == "Kd" and len(t) >= 4:
                 cur["base_color"] = tuple(float(x) for x in t[1:4])
             elif t[0] == "Ke" and len(t) >= 4:
@@ -63,6 +77,13 @@ def _parse_mtl(path: str, tex_paths: Optional[Dict[str, dict]] = None
                 cur["ior"] = float(t[1])
             elif t[0] == "d" and len(t) >= 2:
                 cur["alpha"] = float(t[1])
+            elif t[0] == "Tf" and len(t) >= 4:
+                # transmission filter color -> authored glass interior
+                # transmittance (reference TransmittanceColor,
+                # CommonVars.cs:109); ignore the no-op white filter
+                tf = tuple(float(x) for x in t[1:4])
+                if min(tf) < 1.0:
+                    cur["transmit_color"] = tf
             elif t[0] == "Pm" and len(t) >= 2:   # PBR extension
                 cur["metallic"] = float(t[1])
             elif t[0] == "Pr" and len(t) >= 2:
