@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from truetrace_tpu.core import aabb as aabb_ops
-from truetrace_tpu.build.bvh2 import build_bvh2
+from truetrace_tpu.build.bvh2 import BVH2, build_bvh2
 from truetrace_tpu.scene.ir import (
     AnalyticLights, EnvMap, LightTris, MaterialTable, Scene)
 
@@ -222,8 +222,14 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   max_leaf: int = 4, with_cwbvh: bool = False,
                   with_light_bvh: bool = False, terrain=None,
                   presplit: float = 0.0,
-                  leaf_k: Optional[int] = 3) -> Scene:
+                  leaf_k: Optional[int] = 3,
+                  cache_dir: Optional[str] = None) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS).
+
+    cache_dir: directory for the on-disk build cache
+    (scene/build_cache.py — the reference's persisted "Build Aggregated
+    BVH"); None consults the TRUETRACE_BUILD_CACHE env var, and unset
+    means no caching.
 
     presplit > 0 bisects triangles whose AABB half-area exceeds
     `presplit` x the scene mean before the BVH build (build/presplit.py
@@ -248,18 +254,38 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         # 5.2M tris (2.12 vs 0.75) — BASELINE.md round-3 fat-leaf
         # tables; below ~250k is unmeasured, keep the k3 layout
         leaf_k = 12 if tris["p0"].shape[0] > 250_000 else 3
-    if with_cwbvh:
+
+    # on-disk build cache (reference "Build Aggregated BVH" persistence,
+    # README.md:131; scene/build_cache.py): reuse BVH2 + CWBVH + light-BVH
+    # products for an identical triangle soup + build config
+    from truetrace_tpu.scene import build_cache as _bc
+    if cache_dir is None:
+        cache_dir = _bc.default_cache_dir()
+    cached = None
+    cache_key = None
+    _new_products = None
+    if cache_dir is not None and with_cwbvh:
+        cache_key = _bc.scene_build_key(tris, mats, leaf_k, with_light_bvh)
+        cached = _bc.load_build(cache_dir, cache_key)
+
+    if cached is not None:
+        full_perm = cached["full_perm"]
+        for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
+            tris[key] = tris[key][full_perm]
+        bvh = BVH2(box=cached["bvh2_box"], left=cached["bvh2_left"],
+                   count=cached["bvh2_count"], order=full_perm,
+                   depth=int(cached["bvh2_depth"]))
+        cw_nodes = jnp.asarray(cached["cw_nodes"])
+        cw_tri_index = jnp.asarray(cached["cw_tri_index"])
+        cw_leaf_rows = jnp.asarray(cached["cw_leaf_rows"])
+        cw_stack = int(cached["cw_stack"])
+    elif with_cwbvh:
         # CWBVH collapse needs BVH2 leaves with <= leaf_k prims
         bvh = build_bvh2(tri_box, max_leaf=leaf_k, sah_leaf_cap=leaf_k)
-    else:
-        bvh = build_bvh2(tri_box, max_leaf=max_leaf)
-
-    # permute triangles into BVH leaf order so leaves are contiguous runs
-    perm = bvh.order
-    for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
-        tris[key] = tris[key][perm]
-
-    if with_cwbvh:
+        # permute triangles into BVH leaf order so leaves are contiguous
+        perm = bvh.order
+        for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
+            tris[key] = tris[key][perm]
         from truetrace_tpu.build.cwbvh import build_cwbvh
         cw = build_cwbvh(bvh, tri_box[perm], p_max=leaf_k)
         # re-permute triangles into CWBVH emit order; remap BVH2 leaf starts
@@ -276,6 +302,16 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         cw_tri_index = jnp.asarray(cw.tri_index)
         cw_leaf_rows = jnp.asarray(rows)
         cw_stack = int(cw.depth) + 1
+        if cache_key is not None:
+            _new_products = dict(
+                full_perm=perm[cw.tri_index].astype(np.int32),
+                bvh2_box=bvh.box, bvh2_left=bvh.left,
+                bvh2_count=bvh.count,
+                cw_nodes=np.asarray(nodes2),
+                cw_tri_index=np.asarray(cw.tri_index),
+                cw_leaf_rows=np.asarray(rows),
+                cw_stack=np.int32(cw_stack),
+                bvh2_depth=np.int32(bvh.depth))
     else:
         cw_nodes = jnp.zeros((0, 20), jnp.uint32)
         cw_tri_index = jnp.zeros((0,), jnp.int32)
@@ -319,24 +355,49 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     lbvh_pair_children = jnp.zeros((0, 2), jnp.int32)
     lcut = {}
     if with_light_bvh and int(light_tris.tri_index.shape[0]) > 1:
-        from truetrace_tpu.build.lightbvh import (build_cut, build_light_bvh,
-                                                  build_pairs)
-        lb = build_light_bvh(
-            tris, np.asarray(light_tris.tri_index),
-            np.asarray(light_tris.power))
-        pairs, pair_children = build_pairs(lb.nodes, lb.info)
-        lbvh_nodes = jnp.asarray(lb.nodes)
-        lbvh_info = jnp.asarray(lb.info)
-        lbvh_prim = jnp.asarray(lb.prim)
-        lbvh_trail = jnp.asarray(lb.trail)
-        lbvh_pairs = jnp.asarray(pairs)
-        lbvh_pair_children = jnp.asarray(pair_children)
-        cut = build_cut(lb)
-        lcut = dict(lcut_bounds=jnp.asarray(cut.bounds),
-                    lcut_link=jnp.asarray(cut.link),
-                    lcut_node_ids=jnp.asarray(cut.node_ids),
-                    lcut_of_light=jnp.asarray(cut.of_light),
-                    lcut_skip=jnp.asarray(cut.skip))
+        if cached is not None and "lbvh_nodes" in cached:
+            lbvh_nodes = jnp.asarray(cached["lbvh_nodes"])
+            lbvh_info = jnp.asarray(cached["lbvh_info"])
+            lbvh_prim = jnp.asarray(cached["lbvh_prim"])
+            lbvh_trail = jnp.asarray(cached["lbvh_trail"])
+            lbvh_pairs = jnp.asarray(cached["lbvh_pairs"])
+            lbvh_pair_children = jnp.asarray(cached["lbvh_pair_children"])
+            lcut = {k: jnp.asarray(cached[k]) for k in
+                    ("lcut_bounds", "lcut_link", "lcut_node_ids",
+                     "lcut_of_light", "lcut_skip")}
+        else:
+            from truetrace_tpu.build.lightbvh import (build_cut,
+                                                      build_light_bvh,
+                                                      build_pairs)
+            lb = build_light_bvh(
+                tris, np.asarray(light_tris.tri_index),
+                np.asarray(light_tris.power))
+            pairs, pair_children = build_pairs(lb.nodes, lb.info)
+            lbvh_nodes = jnp.asarray(lb.nodes)
+            lbvh_info = jnp.asarray(lb.info)
+            lbvh_prim = jnp.asarray(lb.prim)
+            lbvh_trail = jnp.asarray(lb.trail)
+            lbvh_pairs = jnp.asarray(pairs)
+            lbvh_pair_children = jnp.asarray(pair_children)
+            cut = build_cut(lb)
+            lcut = dict(lcut_bounds=jnp.asarray(cut.bounds),
+                        lcut_link=jnp.asarray(cut.link),
+                        lcut_node_ids=jnp.asarray(cut.node_ids),
+                        lcut_of_light=jnp.asarray(cut.of_light),
+                        lcut_skip=jnp.asarray(cut.skip))
+            if _new_products is not None:
+                _new_products.update(
+                    lbvh_nodes=lb.nodes, lbvh_info=lb.info,
+                    lbvh_prim=lb.prim, lbvh_trail=lb.trail,
+                    lbvh_pairs=pairs, lbvh_pair_children=pair_children,
+                    lcut_bounds=np.asarray(cut.bounds),
+                    lcut_link=np.asarray(cut.link),
+                    lcut_node_ids=np.asarray(cut.node_ids),
+                    lcut_of_light=np.asarray(cut.of_light),
+                    lcut_skip=np.asarray(cut.skip))
+
+    if _new_products is not None:
+        _bc.save_build(cache_dir, cache_key, _new_products)
 
     return Scene(
         tri_p0=jnp.asarray(tris["p0"]), tri_e1=jnp.asarray(tris["e1"]),
