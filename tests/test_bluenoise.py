@@ -1,0 +1,86 @@
+"""Blue-noise / low-discrepancy sampler (core/rng.py bn_uniform*;
+reference low-discrepancy per-pixel mode, CommonData.cginc:404-428)."""
+import jax.numpy as jnp
+import numpy as np
+
+from truetrace_tpu.core import rng
+
+
+def test_sobol_pair_is_02_sequence():
+    """First 16 points stratify every elementary interval of area 1/16."""
+    s = jnp.arange(16, dtype=jnp.uint32)
+    x, y = rng._sobol_pair(s)
+    xf = np.asarray(x).astype(np.float64) / 2**32
+    yf = np.asarray(y).astype(np.float64) / 2**32
+    for nx, ny in ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)):
+        cells = set(zip((xf * nx).astype(int), (yf * ny).astype(int)))
+        assert len(cells) == 16, (nx, ny, sorted(cells))
+
+
+def test_blue_noise_mask_is_blue():
+    """Blue = low-frequency spatial power suppressed: the radially-binned
+    power below 0.1 cycles/px must be tiny vs above 0.3 (white noise has
+    ratio ~1). Plus adjacent ranks anti-correlate above white's 1/3."""
+    m = np.asarray(rng.blue_noise_mask()).reshape(rng.BN_SIZE, rng.BN_SIZE)
+    assert m.shape == (64, 64)
+    # ranks are a permutation of i/4096
+    assert len(np.unique(m)) == 64 * 64
+    F = np.abs(np.fft.fft2(m - m.mean())) ** 2
+    fy = np.fft.fftfreq(64)[:, None]
+    fx = np.fft.fftfreq(64)[None, :]
+    r = np.sqrt(fx * fx + fy * fy)
+    low = F[(r < 0.1) & (r > 0)].mean()
+    high = F[r > 0.3].mean()
+    assert low / high < 0.05, low / high
+    d1 = np.abs(m - np.roll(m, 1, axis=0)).mean()
+    assert d1 > 0.38, d1
+
+
+def test_bn_uniform_contract():
+    """Pure function of (pixel, sample, dim); output in [0,1);
+    distinct pixels get distinct shifts."""
+    pix = jnp.arange(128, dtype=jnp.uint32)
+    a = np.asarray(rng.bn_uniform1(pix, jnp.uint32(5), jnp.uint32(3), 16))
+    b = np.asarray(rng.bn_uniform1(pix, jnp.uint32(5), jnp.uint32(3), 16))
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 0.0 and a.max() < 1.0
+    assert len(np.unique(np.round(a, 6))) > 100
+    u2 = np.asarray(rng.bn_uniform2(pix, jnp.uint32(5), jnp.uint32(4), 16))
+    assert u2.shape == (128, 2)
+    assert u2.min() >= 0.0 and u2.max() < 1.0
+
+
+def test_bn_sequence_stratifies_per_pixel():
+    """Per pixel, successive samples are low-discrepancy: 16 samples of
+    one dim land in 16 distinct 1/16 bins (Cranley-Patterson rotation
+    preserves stratification)."""
+    pix = jnp.full((4,), 7, jnp.uint32)
+    us = np.stack([
+        np.asarray(rng.bn_uniform1(pix, jnp.uint32(s), jnp.uint32(2), 16))
+        for s in range(16)])
+    for lane in range(4):
+        bins = set((us[:, lane] * 16).astype(int))
+        assert len(bins) == 16, bins
+
+
+def test_bluenoise_lowers_low_spp_error():
+    """4-spp Cornell render error vs a 256-spp reference: bluenoise <=
+    pcg (the whole point of the sampler — verdict round-3 item 9)."""
+    from truetrace_tpu.integrate.pathtrace import RenderConfig, render
+    from truetrace_tpu.scene.cornell import make
+
+    meshes, mats, cam = make()
+    from truetrace_tpu.scene.mesh import compile_scene
+    scene = compile_scene(meshes, mats, with_cwbvh=True)
+
+    def img(sampler, spp):
+        cfg = RenderConfig(width=24, height=24, bounces=3, bsdf="lambert",
+                           traversal="wavefront", sampler=sampler)
+        return np.asarray(render(scene, cam, cfg, spp=spp))
+
+    ref = img("pcg", 256)
+    e_pcg = np.mean((img("pcg", 4) - ref) ** 2)
+    e_bn = np.mean((img("bluenoise", 4) - ref) ** 2)
+    # LDS at 4 spp should beat white noise clearly; allow a little slack
+    # against reference noise
+    assert e_bn < e_pcg * 0.9, (e_bn, e_pcg)

@@ -82,3 +82,132 @@ DIM_NEE_RR = 7          # NEE shadow-ray russian roulette
 def path_dim(bounce, slot):
     """Dimension id for a given bounce and slot."""
     return bounce * DIMS_PER_BOUNCE + slot
+
+
+# ---------------------------------------------------------------------------
+# Blue-noise / low-discrepancy sampler (RenderConfig.sampler="bluenoise")
+#
+# Counterpart of the reference's low-discrepancy per-pixel mode
+# (CommonData.cginc:404-428: `random` switches to a scrambled sequence +
+# per-pixel scramble for the denoiser-facing passes). TPU form: a
+# Cranley-Patterson-rotated Owen-ish (0,2)-sequence — per sample index a
+# scalar Sobol pair, per dimension an XOR scramble, per PIXEL a toroidal
+# shift from a void-and-cluster blue-noise mask, so neighbouring pixels'
+# low-spp errors are anti-correlated (what the eye and the denoisers see).
+# Still a pure function of (pixel, sample, dim): the replay contract
+# (ASVGF/diff/ReSTIR) is untouched.
+# ---------------------------------------------------------------------------
+
+BN_SIZE = 64                      # mask side; tiled toroidally over screen
+_BN_MASK = None                   # lazy [BN_SIZE*BN_SIZE] f32 ranks in [0,1)
+
+
+def blue_noise_mask():
+    """Flat [BN_SIZE*BN_SIZE] float32 blue-noise ranks in [0,1).
+
+    Sequential void-filling (Ulichney void-and-cluster, insertion phase
+    only): repeatedly place the next rank at the cell with the lowest
+    accumulated toroidal-Gaussian energy. Deterministic; built once per
+    process (~60 ms) and cached."""
+    global _BN_MASK
+    if _BN_MASK is not None:
+        return _BN_MASK
+    import numpy as np
+    n = BN_SIZE
+    sigma = 1.5      # adj-rank diff 0.40 + low/high spectral ratio ~0
+                     # (sweep in round-4 notes; 1.9 gave 0.37)
+    ax = np.arange(n)
+    d = np.minimum(ax, n - ax).astype(np.float64)
+    d2 = d[:, None] ** 2 + d[None, :] ** 2
+    kernel = np.exp(-d2 / (2.0 * sigma * sigma))
+    energy = np.zeros((n, n))
+    taken = np.zeros((n, n), bool)
+    rank = np.zeros((n, n), np.int64)
+    # deterministic start cell; ties break by flat index (argmin order)
+    for r in range(n * n):
+        masked = np.where(taken, np.inf, energy)
+        idx = int(np.argmin(masked))
+        y, x = divmod(idx, n)
+        taken[y, x] = True
+        rank[y, x] = r
+        energy += np.roll(np.roll(kernel, y, axis=0), x, axis=1)
+    _BN_MASK = jnp.asarray((rank.reshape(-1).astype(np.float64)
+                            / (n * n)).astype(np.float32))
+    return _BN_MASK
+
+
+def _bitrev32(x):
+    x = ((x & _U32(0x55555555)) << 1) | ((x >> 1) & _U32(0x55555555))
+    x = ((x & _U32(0x33333333)) << 2) | ((x >> 2) & _U32(0x33333333))
+    x = ((x & _U32(0x0F0F0F0F)) << 4) | ((x >> 4) & _U32(0x0F0F0F0F))
+    x = ((x & _U32(0x00FF00FF)) << 8) | ((x >> 8) & _U32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
+# Sobol' dimension-2 direction numbers (primitive polynomial x+1:
+# v_i = v_{i-1} ^ (v_{i-1} >> 1), the classic m = 1,3,5,15,17,... —
+# together with the bit-reversed first dimension this is THE (0,2)
+# sequence every Sobol implementation ships)
+import numpy as _np
+
+
+def _sobol2_dirs():
+    v = [0] * 32
+    v[0] = 1 << 31
+    for i in range(1, 32):
+        v[i] = v[i - 1] ^ (v[i - 1] >> 1)
+    return _np.asarray(v, _np.uint64).astype(_np.uint32)
+
+
+_SOBOL2_DIRS = _sobol2_dirs()
+
+
+def _sobol_pair(s):
+    """Scalar (or array) sample index -> (x, y) u32 Sobol (0,2) pair."""
+    s = jnp.asarray(s).astype(_U32)
+    x = _bitrev32(s)
+    y = jnp.zeros_like(s)
+    for i in range(32):
+        y = y ^ jnp.where((s >> i) & _U32(1) == 1,
+                          _U32(int(_SOBOL2_DIRS[i])), _U32(0))
+    return x, y
+
+
+def _bn_shift(pixel_id, dim_id, width):
+    """Per-pixel, per-dim blue-noise shift in [0,1): the mask sampled at
+    the pixel's screen cell, toroidally offset per dimension."""
+    mask = blue_noise_mask()
+    pix = pixel_id.astype(jnp.int32)
+    x = pix % width
+    y = pix // width
+    # decorrelate dimensions: offset the mask lookup by a hash of dim
+    hx, hy, _ = pcg3d(dim_id, dim_id ^ _U32(0x9E3779B9), _U32(17))
+    ox = (hx & _U32(BN_SIZE - 1)).astype(jnp.int32)
+    oy = (hy & _U32(BN_SIZE - 1)).astype(jnp.int32)
+    cell = ((y + oy) % BN_SIZE) * BN_SIZE + (x + ox) % BN_SIZE
+    return mask[cell]
+
+
+def bn_uniform1(pixel_id, sample_id, dim_id, width):
+    """Blue-noise-dithered LD scalar: Owen-ish scrambled van der Corput in
+    the sample index, Cranley-Patterson rotated per pixel by the mask."""
+    dim_id = jnp.asarray(dim_id).astype(_U32)
+    sx, _ = _sobol_pair(sample_id)
+    scr, _, _ = pcg3d(dim_id, _U32(0xA511E9B3), _U32(3))
+    base = _u32_to_unit_float(sx ^ scr)
+    u = base + _bn_shift(pixel_id, dim_id, width)
+    return u - jnp.floor(u)
+
+
+def bn_uniform2(pixel_id, sample_id, dim_id, width):
+    """Blue-noise-dithered LD pair ((0,2)-sequence in the sample index)."""
+    dim_id = jnp.asarray(dim_id).astype(_U32)
+    sx, sy = _sobol_pair(sample_id)
+    scx, scy, _ = pcg3d(dim_id, _U32(0xA511E9B3), _U32(5))
+    bx = _u32_to_unit_float(sx ^ scx)
+    by = _u32_to_unit_float(sy ^ scy)
+    shx = _bn_shift(pixel_id, dim_id, width)
+    shy = _bn_shift(pixel_id, dim_id ^ _U32(0x517CC1B7), width)
+    ux = bx + shx
+    uy = by + shy
+    return jnp.stack([ux - jnp.floor(ux), uy - jnp.floor(uy)], axis=-1)

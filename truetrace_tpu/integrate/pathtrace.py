@@ -60,6 +60,10 @@ class RenderConfig:
     # "exact" walks the tree trail for the true descent pmf (reference
     # CalcLightPDF, CommonData.cginc:1057).
     nee_mis: str = struct.field(pytree_node=False, default="approx")
+    # "pcg" (white, pcg3d) | "bluenoise" (blue-noise-dithered (0,2)
+    # sequence, core/rng.py bn_uniform* — lower visible error at 1-4 spp;
+    # reference low-discrepancy per-pixel mode, CommonData.cginc:404-428)
+    sampler: str = struct.field(pytree_node=False, default="pcg")
     # NEE russian roulette: shadow rays whose unshadowed contribution
     # luminance is below this survive proportionally (reweighted —
     # unbiased); 0 disables. Counterpart of the reference's NEE RR
@@ -87,6 +91,17 @@ class RenderConfig:
     # a lock-step mixed chunk stretch the closest-hit lanes' cascade
     # stages more than a dedicated early-out any-hit dispatch costs.
     fuse_nee: bool = struct.field(pytree_node=False, default=False)
+
+
+def _samplers(cfg: "RenderConfig"):
+    """(uniform1, uniform2) for the configured sampler. "bluenoise" swaps
+    in the blue-noise-dithered (0,2) sequence (core/rng.py) — same
+    (pixel, sample, dim) counter addressing, so replay contracts hold."""
+    if cfg.sampler == "bluenoise":
+        w = cfg.width
+        return (lambda pix, s, d: rng.bn_uniform1(pix, s, d, w),
+                lambda pix, s, d: rng.bn_uniform2(pix, s, d, w))
+    return rng.uniform1, rng.uniform2
 
 
 def gather_material(materials, mid):
@@ -368,15 +383,16 @@ def render_sample_with_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     W, H = cfg.width, cfg.height
     pixel = pixel.astype(jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
+    _, u2 = _samplers(cfg)
     if jitter is None:
-        jit2 = rng.uniform2(pixel, sid, jnp.uint32(rng.DIM_CAMERA_JITTER))
+        jit2 = u2(pixel, sid, jnp.uint32(rng.DIM_CAMERA_JITTER))
     else:
         jit2 = jnp.broadcast_to(jnp.asarray(jitter, jnp.float32),
                                 (pixel.shape[0], 2))
     # thin-lens DoF: lens sample drawn from a dedicated dimension; when
     # cam.aperture == 0 the offset vanishes (pinhole)
-    lens_u = rng.uniform2(pixel, sid + jnp.uint32(0x9E3779B9),
-                          jnp.uint32(rng.DIM_CAMERA_JITTER))
+    lens_u = u2(pixel, sid + jnp.uint32(0x9E3779B9),
+                jnp.uint32(rng.DIM_CAMERA_JITTER))
     ro, rd = camera_rays(cam, W, H, pixel.astype(jnp.int32), jit2,
                          lens_u=lens_u)
     # per-pixel ray-cone spread (texture LOD; Amanatides/Akenine-Moller
@@ -403,6 +419,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
     pixel = pixel.astype(jnp.uint32)
     sid = jnp.asarray(sample_id, jnp.uint32)
     bsdf_sample, bsdf_eval = get_bsdf(cfg.bsdf)
+    smp1, smp2 = _samplers(cfg)
 
     radiance = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
@@ -768,8 +785,8 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         # surfaces (reference alpha-mapped any/closest-hit skips,
         # IntersectionKernels.compute:264-498); the lane keeps flying in
         # the same direction and spends one loop iteration
-        u_cut = rng.uniform1(pixel, sid,
-                             jnp.uint32(rng.path_dim(b, rng.DIM_AUX)))
+        u_cut = smp1(pixel, sid,
+                     jnp.uint32(rng.path_dim(b, rng.DIM_AUX)))
         passthru = hit_ok & (mat.alpha < 1.0) & (u_cut >= mat.alpha)
         hit_ok = hit_ok & ~passthru
 
@@ -842,10 +859,10 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         # ---- NEE: pick one strategy {mesh, env, analytic} per lane
         wo = -rd
         if n_groups > 0:
-            u_sel = rng.uniform1(pixel, sid,
-                                 jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SELECT)))
-            u_l2 = rng.uniform2(pixel, sid,
-                                jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SAMPLE)))
+            u_sel = smp1(pixel, sid,
+                         jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SELECT)))
+            u_l2 = smp2(pixel, sid,
+                        jnp.uint32(rng.path_dim(b, rng.DIM_LIGHT_SAMPLE)))
             g_pick = jnp.clip((u_sel * n_groups).astype(jnp.int32),
                               0, n_groups - 1)
             u_resc = jnp.clip(u_sel * n_groups - g_pick.astype(jnp.float32),
@@ -939,7 +956,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 * (cos_s * w_mis / jnp.maximum(pdf_l, 1e-12))[..., None])
             if cfg.nee_rr > 0.0:
                 # roulette away low-value shadow rays, reweight survivors
-                u_srr = rng.uniform1(
+                u_srr = smp1(
                     pixel, sid, jnp.uint32(rng.path_dim(b, rng.DIM_NEE_RR)))
                 p_s = jnp.clip(luminance(contrib) / cfg.nee_rr, 0.05, 1.0)
                 cand = cand & (u_srr < p_s)
@@ -966,10 +983,10 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                                                 contrib * trans, 0.0)
 
         # ---- BSDF sample / continue
-        u_lobe = rng.uniform1(pixel, sid,
-                              jnp.uint32(rng.path_dim(b, rng.DIM_BSDF_LOBE)))
-        u_dir = rng.uniform2(pixel, sid,
-                             jnp.uint32(rng.path_dim(b, rng.DIM_BSDF_SAMPLE)))
+        u_lobe = smp1(pixel, sid,
+                      jnp.uint32(rng.path_dim(b, rng.DIM_BSDF_LOBE)))
+        u_dir = smp2(pixel, sid,
+                     jnp.uint32(rng.path_dim(b, rng.DIM_BSDF_SAMPLE)))
         wi, f, pdf, lobe = bsdf_sample(mat, sn, wo, u_lobe, u_dir)
         # detached-sampling estimator: the sampled direction and its pdf are
         # treated as constants in the backward pass; parameter gradients
@@ -984,8 +1001,8 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         new_tp = finite_or_zero(new_tp)
 
         # russian roulette
-        u_rr = rng.uniform1(pixel, sid,
-                            jnp.uint32(rng.path_dim(b, rng.DIM_RR)))
+        u_rr = smp1(pixel, sid,
+                    jnp.uint32(rng.path_dim(b, rng.DIM_RR)))
         q = jnp.clip(jnp.max(new_tp, axis=-1), 0.05, 1.0)
         do_rr = b >= cfg.rr_start
         survive = jnp.where(do_rr, u_rr < q, True)
