@@ -53,15 +53,48 @@ def test_partial_converges_to_full(scene_cam):
     assert rad.shape == (32, 32, 3)
 
 
-def test_partial_rejects_restir():
-    with pytest.raises(ValueError):
-        meshes, mats, cam = cornell.make()
-        scene = compile_scene(meshes, mats)
-        cfg = RendererConfig(width=32, height=32, partial_rendering=2,
-                             use_restir=True, traversal="bvh2")
-        r = Renderer(scene, cam, cfg)
-        st = r.init_state()
-        r.step(st)
+def _run_cfg(scene, cam, frames, **kw):
+    cfg = RendererConfig(width=32, height=32, bounces=2, bsdf="lambert",
+                         traversal="bvh2", light_sampling="cdf", **kw)
+    r = Renderer(scene, cam, cfg)
+    st = r.init_state()
+    display = radiance = None
+    for _ in range(frames):
+        display, radiance, st = r.step(st)
+    return np.asarray(display), np.asarray(radiance), st
+
+
+def test_partial_composes_with_restir_svgf(scene_cam):
+    """Round-4 item: the 1/k lever works INSIDE the quality pipeline
+    (reference gates only raygen, RayTracingShader.compute:91-97): stale
+    pixels submit no fresh ReSTIR candidate; reservoirs persist and the
+    full-res composed G-buffer feeds the denoiser."""
+    scene, cam = scene_cam
+    disp_f, rad_f, _ = _run_cfg(scene, cam, 6, use_restir=True,
+                                denoiser="svgf")
+    disp_p, rad_p, _ = _run_cfg(scene, cam, 9, use_restir=True,
+                                denoiser="svgf", partial_rendering=4)
+    assert np.isfinite(disp_p).all() and np.isfinite(rad_p).all()
+    # same scene brightness once warm (ReSTIR shade on composed buffers)
+    np.testing.assert_allclose(rad_p.mean(), rad_f.mean(), rtol=0.25)
+
+
+def test_partial_composes_with_restir_di(scene_cam):
+    scene, cam = scene_cam
+    _, rad_f, _ = _run_cfg(scene, cam, 6, use_restir_di=True)
+    _, rad_p, _ = _run_cfg(scene, cam, 9, use_restir_di=True,
+                           partial_rendering=4)
+    assert np.isfinite(rad_p).all()
+    np.testing.assert_allclose(rad_p.mean(), rad_f.mean(), rtol=0.25)
+
+
+def test_partial_composes_with_cache_and_upscale(scene_cam):
+    scene, cam = scene_cam
+    _, rad_p, st = _run_cfg(scene, cam, 6, use_radiance_cache=True,
+                            upscale=2, partial_rendering=2)
+    assert np.isfinite(rad_p).all()
+    assert rad_p.shape == (32, 32, 3)
+    assert rad_p.mean() > 0.01
 
 
 def test_temporal_exposure_adapts_smoothly():

@@ -57,9 +57,12 @@ class RendererConfig:
     # interleave) and reuse the previous frame's radiance/G-buffers for
     # the rest, motion-reprojected on camera moves — the reference's
     # interactivity lever (DoPartialRendering,
-    # RayTracingShader.compute:91-97). 1 = off. Progressive accumulation
-    # stays unbiased (stale pixels repeat their own past samples), it
-    # just converges k-x slower. Incompatible with ReSTIR/cache/upscale.
+    # RayTracingShader.compute:91-97: only raygen is gated; every
+    # downstream pass runs full-res on the composed buffers). 1 = off.
+    # Composes with ReSTIR GI/DI (stale pixels submit no fresh candidate;
+    # reservoirs persist), the radiance cache and TAAU. Progressive
+    # accumulation stays unbiased (stale pixels repeat their own past
+    # samples), it just converges k-x slower.
     partial_rendering: int = 1
     post: PostConfig = field(default_factory=PostConfig)
 
@@ -92,9 +95,11 @@ class FrameState(NamedTuple):
     taa_history: Optional[jnp.ndarray]
     prev_cam: Optional[Camera] = None   # last frame's camera (motion vecs)
     taau_history: Optional[jnp.ndarray] = None  # full-res TAAU history
-    # partial-rendering persistence: full-res (rad, albedo, normal,
-    # depth) flat buffers the 1/k traced subset scatters into
-    partial: Optional[tuple] = None
+    # partial-rendering persistence: dict of full-res flat buffers the
+    # 1/k traced subset scatters into (rad/albedo/normal/depth/emitted0
+    # always; + direct/x1/mat1 for ReSTIR GI, di_x1/di_n/di_d for the
+    # ReSTIR DI prepass G-buffer)
+    partial: Optional[dict] = None
     # temporal auto-exposure state (post/pipeline.py
     # auto_exposure_temporal); -1 = cold start
     exposure: Optional[jnp.ndarray] = None
@@ -120,6 +125,21 @@ class Renderer:
                     self.neural_params = serialization.from_bytes(
                         self.neural_params, f.read())
 
+    def _init_partial(self, ih, iw):
+        """Full-res compose buffers for partial rendering (see
+        FrameState.partial)."""
+        R = ih * iw
+        p = dict(rad=jnp.zeros((R, 3)), albedo=jnp.ones((R, 3)),
+                 normal=jnp.zeros((R, 3)), depth=jnp.zeros((R,)),
+                 emitted0=jnp.zeros((R, 3)))
+        if self.cfg.use_restir:
+            p.update(direct=jnp.zeros((R, 3)), x1=jnp.zeros((R, 3)),
+                     mat1=jnp.zeros((R,), jnp.int32))
+        if self.cfg.use_restir_di:
+            p.update(di_x1=jnp.zeros((R, 3)), di_n=jnp.zeros((R, 3)),
+                     di_d=jnp.zeros((R,)))
+        return p
+
     def init_state(self) -> FrameState:
         # trace-resolution states live at the internal (pre-upscale) size;
         # accumulation / TAA / TAAU history at the output size
@@ -142,8 +162,7 @@ class Renderer:
             if self.cfg.use_radiance_cache else None,
             taa_history=None,
             prev_cam=None,
-            partial=(jnp.zeros((ih * iw, 3)), jnp.ones((ih * iw, 3)),
-                     jnp.zeros((ih * iw, 3)), jnp.zeros((ih * iw,)))
+            partial=self._init_partial(ih, iw)
             if self.cfg.partial_rendering > 1 else None,
             exposure=jnp.float32(-1.0) if self.cfg.post.auto_expose
             else None,
@@ -188,18 +207,30 @@ class Renderer:
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
         k = cfg.partial_rendering
         if k > 1:
-            if (cfg.use_restir or cfg.use_restir_di
-                    or cfg.use_radiance_cache or cfg.upscale > 1):
-                raise ValueError("partial_rendering is incompatible with "
-                                 "ReSTIR / radiance cache / upscale")
             if (h * w) % k:
                 raise ValueError("partial_rendering must divide the "
                                  "pixel count")
             # rolling 1/k interleave (reference DoPartialRendering,
-            # RayTracingShader.compute:91-97); static subset shape
+            # RayTracingShader.compute:91-97); static subset shape.
+            # Only raygen is gated — every downstream pass (ReSTIR,
+            # cache, denoise, TAAU) runs full-res on composed buffers,
+            # exactly like the reference.
             pixel = (jnp.arange((h * w) // k, dtype=jnp.uint32) * k
                      + jnp.asarray(sid, jnp.uint32) % k)
         new = {}
+        P = dict(state.partial) if k > 1 else None
+        if k > 1 and cam_moved and state.prev_cam is not None:
+            # motion-reproject the persistent compose buffers so stale
+            # pixels track the new view (fresh subset overwrites after)
+            from truetrace_tpu.post.motion import motion_vectors
+            mv = motion_vectors(state.prev_cam, self.cam,
+                                P["depth"].reshape(h, w))
+            ys = jnp.clip((jnp.arange(h)[:, None] - mv[..., 1])
+                          .astype(jnp.int32), 0, h - 1)
+            xs = jnp.clip((jnp.arange(w)[None, :] - mv[..., 0])
+                          .astype(jnp.int32), 0, w - 1)
+            P = {key: buf.reshape((h, w) + buf.shape[1:])[ys, xs]
+                 .reshape(buf.shape) for key, buf in P.items()}
         # TAAU jitter sequence: one Halton subpixel offset per frame so
         # the temporal upscaler knows where this frame's samples landed
         jitter = None
@@ -220,12 +251,23 @@ class Renderer:
                                 cache_query_bounce=-1)
             _, gst = render_sample_with_stats(self.scene, self.cam, gcfg,
                                               pixel, sid)
+            if k > 1:
+                # compose the prepass G-buffer: fresh subset + stale rest
+                P["di_x1"] = P["di_x1"].at[pixel].set(gst["x1"])
+                P["di_n"] = P["di_n"].at[pixel].set(gst["normal"])
+                P["di_d"] = P["di_d"].at[pixel].set(gst["depth"])
+                g_x1, g_n, g_d = P["di_x1"], P["di_n"], P["di_d"]
+            else:
+                g_x1, g_n, g_d = gst["x1"], gst["normal"], gst["depth"]
             di_sample, di_state = restir_di_reservoirs(
                 self.scene, self.cam, rcfg, state.restir_di, sid,
-                gst["x1"].reshape(h, w, 3),
-                gst["normal"].reshape(h, w, 3),
-                gst["depth"].reshape(h, w), prev_cam=state.prev_cam)
+                g_x1.reshape(h, w, 3), g_n.reshape(h, w, 3),
+                g_d.reshape(h, w), prev_cam=state.prev_cam)
             new["restir_di"] = di_state
+            if k > 1:
+                # the main trace only shades the fresh subset
+                di_sample = jax.tree_util.tree_map(lambda a: a[pixel],
+                                                   di_sample)
 
         # ---- the ONE wavefront trace: integrator + ReSTIR captures +
         # radiance-cache records all come out of this single bounce loop
@@ -250,33 +292,38 @@ class Renderer:
         if k > 1:
             # compose the full frame: stale pixels keep (reprojected)
             # previous values, the traced subset scatters fresh ones
-            p_rad, p_alb, p_nrm, p_dep = state.partial
-            if cam_moved and state.prev_cam is not None:
-                from truetrace_tpu.post.motion import motion_vectors
-                mv = motion_vectors(state.prev_cam, self.cam,
-                                    p_dep.reshape(h, w))
-                sy = jnp.arange(h)[:, None] - mv[..., 1]
-                sx = jnp.arange(w)[None, :] - mv[..., 0]
-                ys = jnp.clip(sy.astype(jnp.int32), 0, h - 1)
-                xs = jnp.clip(sx.astype(jnp.int32), 0, w - 1)
-
-                def _reproj(buf):
-                    img = buf.reshape((h, w) + buf.shape[1:])
-                    return img[ys, xs].reshape(buf.shape)
-
-                p_rad, p_alb, p_nrm, p_dep = (
-                    _reproj(p_rad), _reproj(p_alb), _reproj(p_nrm),
-                    _reproj(p_dep))
-            p_rad = p_rad.at[pixel].set(rad)
-            p_alb = p_alb.at[pixel].set(st["albedo"])
-            p_nrm = p_nrm.at[pixel].set(st["normal"])
-            p_dep = p_dep.at[pixel].set(st["depth"])
-            new["partial"] = (p_rad, p_alb, p_nrm, p_dep)
-            rad = p_rad
-            # emissive passthrough is not tracked partially: a zero map
-            # makes the denoisers' subtract/re-add a no-op (safe)
-            st = dict(st, albedo=p_alb, normal=p_nrm, depth=p_dep,
-                      emitted0=jnp.zeros_like(p_rad))
+            # (camera-move reprojection already applied to P above)
+            for key, src in (("rad", rad), ("albedo", st["albedo"]),
+                             ("normal", st["normal"]),
+                             ("depth", st["depth"]),
+                             ("emitted0", st["emitted0"])):
+                P[key] = P[key].at[pixel].set(src)
+            rad = P["rad"]
+            comp = dict(st, albedo=P["albedo"], normal=P["normal"],
+                        depth=P["depth"], emitted0=P["emitted0"])
+            if cfg.use_restir:
+                # persistent channels (final shade reads every pixel);
+                # candidate channels scatter into ZEROS — stale pixels
+                # submit no fresh candidate, their reservoirs persist
+                # (the reference's behavior: raygen-only gating)
+                for key, src in (("direct", st["direct"]),
+                                 ("x1", st["x1"]), ("mat1", st["mat1"])):
+                    P[key] = P[key].at[pixel].set(src)
+                comp.update(direct=P["direct"], x1=P["x1"],
+                            mat1=P["mat1"])
+                R_full = h * w
+                for key, src in (("x2", st["x2"]), ("n2", st["n2"]),
+                                 ("tp1", st["tp1"]),
+                                 ("indirect", st["indirect"])):
+                    comp[key] = jnp.zeros((R_full,) + src.shape[1:],
+                                          src.dtype).at[pixel].set(src)
+                comp["pdf1"] = jnp.zeros((R_full,), jnp.float32
+                                         ).at[pixel].set(st["pdf1"])
+                comp["cand_valid"] = jnp.zeros(
+                    (R_full,), st["cand_valid"].dtype
+                ).at[pixel].set(st["cand_valid"])
+            new["partial"] = P
+            st = comp
         frame = rad.reshape(h, w, 3)
         albedo = st["albedo"].reshape(h, w, 3)
         normal = st["normal"].reshape(h, w, 3)

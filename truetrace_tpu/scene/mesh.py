@@ -313,6 +313,11 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                 cw_stack=np.int32(cw_stack),
                 bvh2_depth=np.int32(bvh.depth))
     else:
+        bvh = build_bvh2(tri_box, max_leaf=max_leaf)
+        # permute triangles into BVH leaf order (contiguous leaf runs)
+        perm = bvh.order
+        for key in ("p0", "e1", "e2", "n", "uv", "tan", "mat"):
+            tris[key] = tris[key][perm]
         cw_nodes = jnp.zeros((0, 20), jnp.uint32)
         cw_tri_index = jnp.zeros((0,), jnp.int32)
         cw_leaf_rows = jnp.zeros((0, 30), jnp.float32)
