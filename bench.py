@@ -143,6 +143,32 @@ def main():
     if atrium_mrays is not None:
         out["detail"]["atrium_mrays"] = round(atrium_mrays, 3)
         out["detail"]["atrium_tris"] = int(atrium_tris)
+
+    # perf CI: append every run to bench_history.jsonl keyed by commit
+    # (scripts/bench_gate.py fails when the headline regresses >10% vs
+    # the last recorded run — VERDICT r3 item 7). Opt out: BENCH_NO_LOG=1.
+    if not os.environ.get("BENCH_NO_LOG"):
+        try:
+            import subprocess
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))
+            ).stdout.strip() or "unknown"
+        except Exception:
+            commit = "unknown"
+        rec = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+               "commit": commit, "scene": scene_kind,
+               "rays": R, "headline_mrays": out["value"],
+               "atrium_mrays": (round(atrium_mrays, 3)
+                                if atrium_mrays is not None else None),
+               "scene_tris": int(n_tris),
+               "device": str(jax.devices()[0])}
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_history.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     print(json.dumps(out))
 
 
