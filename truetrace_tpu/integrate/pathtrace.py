@@ -36,6 +36,9 @@ from truetrace_tpu.scene.ir import Camera, Scene, camera_rays
 
 T_MAX = jnp.float32(1e30)
 SHADOW_EPS = 1e-4
+# nested-dielectric medium stack depth (glass in water in ...): 4 levels
+# of containment cover practical scenes; deeper entries overwrite the top
+MED_STACK = 4
 
 
 @struct.dataclass
@@ -489,7 +492,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
          c_w0, c_w1, c_prefix, c_tp, c_live,
          n_trace, n_shadow, r_emit0, n_cq, n_ch,
-         s_ro, s_rd, s_tmax, s_contrib) = state
+         s_ro, s_rd, s_tmax, s_contrib, m_ids, m_sp) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         if fused:
             # ONE mixed dispatch: this bounce's closest-hit rays
@@ -749,37 +752,56 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 * (mat.metal_remap[:, 1] - mat.metal_remap[:, 0]),
                 0.0, 1.0))
 
-        # ---- glass interior transport (reference
-        # RayTracingShader.compute:278-281): a backface hit on a non-thin
-        # transmissive surface means the segment just traveled was INSIDE
-        # that dielectric — Beer-Lambert attenuation over hit.t with
-        # extinction from the apparent color (Materials.cginc:350
-        # CalculateExtinction; scatter_dist <= 0 is treated as 1), and
-        # the refraction eta inverts for the exit event. No carried
-        # medium state needed: closed glass guarantees the previous
-        # vertex was the entry face.
-        exiting = hit_ok & ~front & (mat.spec_trans > 0.0) & (mat.thin < 0.5)
+        # ---- glass interior transport via a per-lane MEDIUM STACK
+        # (beyond the reference's backface heuristic,
+        # RayTracingShader.compute:278-281, which misses water absorption
+        # on segments ending at nested objects' front faces). m_ids [R,4]
+        # holds the material ids of the dielectrics the lane is inside
+        # (innermost = slot m_sp-1); every segment that lands on a hit
+        # attenuates by the CURRENT medium's Beer-Lambert extinction over
+        # hit.t (Materials.cginc:350 CalculateExtinction; scatter_dist
+        # <= 0 treated as 1). Non-watertight transmissive meshes should
+        # author thin=1 (sheets) — thin surfaces never push media.
+        in_medium = m_sp > 0
+        cur_med = jnp.take_along_axis(
+            m_ids, jnp.clip(m_sp - 1, 0, MED_STACK - 1)[:, None],
+            axis=1)[:, 0]
+        med = gather_material(scene.materials, jnp.maximum(cur_med, 0))
+        m_authored = jnp.all(med.transmit_color >= 0.0, axis=-1,
+                             keepdims=True)
         # apparent interior color: the authored TransmittanceColor when
         # present (reference keys CalculateExtinction on it,
-        # CommonVars.cs:109 + RayTracingShader.compute:640), else derived
-        # from the surface tint so untinted assets keep round-3 behavior
-        authored = jnp.all(mat.transmit_color >= 0.0, axis=-1,
-                           keepdims=True)
-        app = jnp.where(authored,
-                        jnp.clip(1.0 - mat.transmit_color, 0.0, 1.0),
-                        jnp.clip(1.0 - mat.base_color, 0.0, 1.0))
+        # CommonVars.cs:109), else derived from the surface tint
+        app = jnp.where(m_authored,
+                        jnp.clip(1.0 - med.transmit_color, 0.0, 1.0),
+                        jnp.clip(1.0 - med.base_color, 0.0, 1.0))
         s_ext = 1.9 - app + 3.5 * (app - 0.8) ** 2
-        sd = jnp.where(mat.scatter_dist <= 0.0, 1.0, mat.scatter_dist)
+        sd = jnp.where(med.scatter_dist <= 0.0, 1.0, med.scatter_dist)
         # deviation from the reference formula at app == 0 exactly: a
         # perfectly white glass is treated as clear (sigma = 0) so the
         # white furnace stays neutral; the reference would absorb at
         # 1/(4.14 * dist) even for white glass
         att = jnp.where(app <= 0.0, 1.0,
                         jnp.exp(-hit.t[..., None] / (s_ext * sd[..., None])))
-        throughput = jnp.where(exiting[..., None], throughput * att,
+        apply_att = in_medium & hit_ok
+        throughput = jnp.where(apply_att[..., None], throughput * att,
                                throughput)
-        mat = mat.replace(ior=jnp.where(
-            exiting, 1.0 / jnp.maximum(mat.ior, 1e-6), mat.ior))
+        # relative eta fed to the BSDF = n_dest / n_src (air boundaries
+        # reproduce the classic ior on entry, 1/ior on exit): entering a
+        # surface from medium c -> n_surface/n_c; exiting it -> the
+        # second-innermost medium (or air) over n_surface
+        transmissive = hit_ok & (mat.spec_trans > 0.0) & (mat.thin < 0.5)
+        n_cur = jnp.where(in_medium, med.ior, 1.0)
+        below_id = jnp.take_along_axis(
+            m_ids, jnp.clip(m_sp - 2, 0, MED_STACK - 1)[:, None],
+            axis=1)[:, 0]
+        n_below = jnp.where(
+            m_sp > 1,
+            scene.materials.ior[jnp.maximum(below_id, 0)], 1.0)
+        ior_eff = jnp.where(front,
+                            mat.ior / jnp.maximum(n_cur, 1e-6),
+                            n_below / jnp.maximum(mat.ior, 1e-6))
+        mat = mat.replace(ior=jnp.where(transmissive, ior_eff, mat.ior))
 
         # ---- cutout alpha: stochastically pass straight through partial
         # surfaces (reference alpha-mapped any/closest-hit skips,
@@ -1024,6 +1046,32 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         prev_pdf = jnp.where(passthru, prev_pdf,
                              jnp.where(alive, pdf, 0.0))
         sn = jnp.where(passthru[..., None], prev_n, sn)
+        # ---- medium-stack update: a sampled direction that CROSSES the
+        # surface (dot(wi, gn) < 0, gn face-forwarded to the source side)
+        # of a non-thin transmissive material enters (front face: push
+        # its id) or leaves (back face: remove the TOPMOST entry matching
+        # the id — id-matched removal tolerates interleaved boundaries
+        # and makes stray backfaces of never-entered open meshes no-ops)
+        crossed = (alive & ~passthru & transmissive
+                   & (dot(wi, gn) < 0.0))
+        push_evt = crossed & front
+        pop_evt = crossed & ~front
+        slots = jnp.arange(MED_STACK, dtype=jnp.int32)[None, :]
+        top = jnp.clip(m_sp, 0, MED_STACK - 1)[:, None]
+        m_ids = jnp.where(push_evt[:, None] & (slots == top),
+                          mid[:, None], m_ids)
+        match = (m_ids == mid[:, None]) & (slots < m_sp[:, None])
+        has_match = jnp.any(match, axis=1)
+        top_match = (MED_STACK - 1
+                     - jnp.argmax(match[:, ::-1].astype(jnp.int32),
+                                  axis=1))
+        do_pop = pop_evt & has_match
+        shifted = jnp.concatenate(
+            [m_ids[:, 1:], jnp.full((R, 1), -1, jnp.int32)], axis=1)
+        m_ids = jnp.where(do_pop[:, None] & (slots >= top_match[:, None]),
+                          shifted, m_ids)
+        m_sp = jnp.clip(m_sp + push_evt.astype(jnp.int32)
+                        - do_pop.astype(jnp.int32), 0, MED_STACK)
         if cfg.restir_capture:
             # snapshot direct radiance + first-bounce throughput factor
             r_direct = jnp.where(first, radiance, r_direct)
@@ -1036,7 +1084,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
                 c_w0, c_w1, c_prefix, c_tp, c_live,
                 n_trace, n_shadow, r_emit0, n_cq, n_ch,
-                s_ro, s_rd, s_tmax, s_contrib)
+                s_ro, s_rd, s_tmax, s_contrib, m_ids, m_sp)
 
     n_cq = jnp.zeros((), jnp.float32)   # cache queries attempted
     n_ch = jnp.zeros((), jnp.float32)   # cache hits taken
@@ -1045,7 +1093,9 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
              r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
              c_w0, c_w1, c_prefix, c_tp, c_live,
              n_trace, n_shadow, r_emit0, n_cq, n_ch,
-             s_ro, s_rd, s_tmax, s_contrib)
+             s_ro, s_rd, s_tmax, s_contrib,
+             jnp.full((R, MED_STACK), -1, jnp.int32),   # medium ids
+             jnp.zeros((R,), jnp.int32))                # medium depth
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     state = jax.lax.fori_loop(0, cfg.bounces, body, state)
     radiance = state[2]
