@@ -44,7 +44,7 @@ def test_transform_update_fast_path():
     import truetrace_tpu.scene.asset_manager as am_mod
     calls = []
     orig = am_mod.build_source
-    am_mod.build_source = lambda m: calls.append(1) or orig(m)
+    am_mod.build_source = lambda m, **kw: calls.append(1) or orig(m, **kw)
     try:
         m_new = make_transform((-0.6, 0.7, 0.4), rot_y=1.1)
         am.set_transform(inst_h[1], m_new)
@@ -68,7 +68,7 @@ def test_add_remove_instance_and_blas_cache():
     import truetrace_tpu.scene.asset_manager as am_mod
     calls = []
     orig = am_mod.build_source
-    am_mod.build_source = lambda m: calls.append(1) or orig(m)
+    am_mod.build_source = lambda m, **kw: calls.append(1) or orig(m, **kw)
     try:
         m_new = make_transform((0.0, 0.4, 1.5), rot_y=0.9, scale=0.6)
         am.add_instance(src_h[0], m_new)
@@ -90,7 +90,7 @@ def test_update_mesh_rebuilds_only_that_source():
     import truetrace_tpu.scene.asset_manager as am_mod
     calls = []
     orig = am_mod.build_source
-    am_mod.build_source = lambda m: calls.append(m) or orig(m)
+    am_mod.build_source = lambda m, **kw: calls.append(m) or orig(m, **kw)
     try:
         bigger = HostMesh(sources[0].positions * 1.4, sources[0].indices,
                           sources[0].mat_id)

@@ -171,15 +171,21 @@ class AssetManager:
             raise ValueError("commit() with no instances")
         self._src_order = sorted(self._sources)
         self._order = sorted(self._instances)
+        # data-driven fat-leaf selection for the whole committed set (the
+        # unified BLAS table is shared, so every source must agree);
+        # cached builds with a different row width are rebuilt
+        from truetrace_tpu.scene.instances import _auto_leaf_k
+        meshes = [self._sources[h].mesh for h in self._src_order]
+        k = _auto_leaf_k(meshes)
         prebuilt = []
         for h in self._src_order:
             s = self._sources[h]
-            if s.build is None:
-                s.build = build_source(s.mesh)   # cache for later commits
+            if s.build is None or s.build.rows.shape[1] != 10 * k:
+                s.build = build_source(s.mesh, leaf_k=k)  # cached
             prebuilt.append(s.build)
         self._scene, self._isc = compile_scene_instanced(
-            [self._sources[h].mesh for h in self._src_order],
-            self.materials, self._pairs(),
+            meshes, self.materials, self._pairs(),
             env=self.env, lights=self.lights, atlas=self.atlas,
             atlas_rects=self.atlas_rects, atlas_level_y=self.atlas_level_y,
-            with_light_bvh=self.with_light_bvh, prebuilt=prebuilt)
+            with_light_bvh=self.with_light_bvh, prebuilt=prebuilt,
+            leaf_k=k)

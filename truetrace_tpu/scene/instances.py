@@ -117,14 +117,25 @@ def build_source(mesh: HostMesh, leaf_k: int = 3) -> SourceBuild:
                        local_boxes=box[bvh.order][cw.tri_index])
 
 
+def _auto_leaf_k(sources: Sequence[HostMesh]) -> int:
+    """Same data-driven rule as compile_scene(leaf_k=None): fat k=12
+    rows above 250k total source tris (the unified gather table is per
+    SOURCE, so unique geometry — not instance count — sets its size);
+    measured fastest at both 293k and 5.2M tris (BASELINE.md round 3)."""
+    total = sum(int(m.indices.shape[0]) for m in sources)
+    return 12 if total > 250_000 else 3
+
+
 def build_instanced(sources: Sequence[HostMesh],
                     instances: Sequence[Tuple[int, np.ndarray]],
                     prebuilt: Optional[Sequence[SourceBuild]] = None,
-                    leaf_k: int = 3) -> InstancedScene:
+                    leaf_k: Optional[int] = 3) -> InstancedScene:
     """sources: one HostMesh per unique geometry (local space);
     instances: (source_id, l2w 4x4) pairs. prebuilt: optional per-source
     BLAS builds (AssetManager background pool) — skips rebuild (they
-    must share this leaf_k)."""
+    must share this leaf_k). leaf_k=None auto-selects (_auto_leaf_k)."""
+    if leaf_k is None:
+        leaf_k = _auto_leaf_k(sources)
     nodes_list, row_list = [], []
     p0l, e1l, e2l, matl = [], [], [], []
     nl, uvl, tanl = [], [], []
@@ -304,7 +315,8 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
                             env=None, lights=None, atlas=None,
                             atlas_rects=None, atlas_level_y=None,
                             with_light_bvh: bool = False,
-                            prebuilt=None, leaf_k: int = 3):
+                            prebuilt=None,
+                            leaf_k: Optional[int] = 3):
     """Build a full render-ready Scene for an instanced world: shared
     local-space BLASes + an interleaved TLAS (traversal="tlas"), with
     materials/normals/UVs/NEE all wired through the integrator — the
