@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from truetrace_tpu.core.math import ray_tri
 from truetrace_tpu.kernels.traverse_ref import Hit

@@ -87,6 +87,14 @@ _PALLAS_STEP = os.environ.get("TT_PALLAS_STEP", "0") == "1"
 # depth and passes it via Scene.cw_stack; 16 is the safe default for
 # callers without a scene handle.
 MAX_STACK = int(os.environ.get("TT_MAX_STACK", "16"))
+
+# Top-level prepass (TT_TOP_PREPASS=1): decode the root's children OUTSIDE
+# the loop from scalar-indexed row slices (dynamic-slice, NO per-ray
+# gather, no [R,W] row materialization) and hand the loop the two nearest
+# pre-decoded groups — saves ~2 full loop iterations per ray at the cost
+# of 8 broadcast slab tests + one extra stack row. Single-BLAS scalar
+# roots only (the TLAS path roots subtrees per ray).
+_TOP_PREPASS = os.environ.get("TT_TOP_PREPASS", "0") == "1"
 PTR_MASK = U32(0x00FFFFFF)   # low 24 bits of chim/bleaf hold the base index
 LEAF_MASK = U32(0x000000FF)  # hits bits 0..7 = pending leaf slots
 ROW_W = 30                   # default leaf row: 3x(p0,e1,e2) + 3 tri ids
@@ -366,11 +374,88 @@ def _init_state(unified, ro, rd, t_max, root, max_stack):
         u=jnp.zeros((R,), jnp.float32), v=jnp.zeros((R,), jnp.float32),
         orig=jnp.arange(R, dtype=jnp.int32),
     )
+    if _TOP_PREPASS and isinstance(root, int):
+        st = _top_prepass(unified, st, root)
     if _PALLAS_STEP:
         # lane-major ray block for the fused step kernel — transposed
         # ONCE here (rays are loop-invariant in single-level traversal)
         st["ray9"] = jnp.concatenate([ro.T, rd.T, inv_rd.T], axis=0)
     return st
+
+
+def _top_prepass(unified, st, root: int):
+    """Decode the root's (up to 8) children from SCALAR-indexed row
+    slices — dynamic-slice broadcasts, no per-ray gather, no [R,W] row
+    materialization — then seed the loop with the two nearest surviving
+    children's pre-decoded groups (current + stack top) and a root
+    remainder group below. Exact: same work, two fewer in-loop
+    iterations for the common ray. Needs one extra stack row (callers
+    bump max_stack when _TOP_PREPASS is on)."""
+    R = st["ro"].shape[0]
+    ro, rd, inv_rd, oct_key = st["ro"], st["rd"], st["inv"], st["oct"]
+    t_best = st["t"]
+    hits, chim, bleaf = st["hits"], st["chim"], st["bleaf"]
+
+    row0 = jax.lax.dynamic_slice_in_dim(unified, root, 1, 0)[0]
+    chim0 = row0[24]
+    imask0 = chim0 >> 24
+    base0 = (chim0 & PTR_MASK).astype(jnp.int32)
+    N = unified.shape[0]
+    dec = []
+    for j in range(8):
+        below = imask0 & U32((1 << j) - 1)
+        rank = jax.lax.population_count(below).astype(jnp.int32)
+        cid = jnp.clip(base0 + rank, 0, N - 1)
+        rowj = jax.lax.dynamic_slice_in_dim(unified, cid, 1, 0)[0]
+        dec.append(_decode_cols(lambda k, r=rowj: r[k], R, ro, rd,
+                                inv_rd, t_best))
+
+    def select(slot):
+        h = jnp.zeros((R,), U32)
+        c = jnp.zeros((R,), U32)
+        b = jnp.zeros((R,), U32)
+        for j in range(8):
+            m = slot == j
+            h = jnp.where(m, dec[j][0], h)
+            c = jnp.where(m, dec[j][1], c)
+            b = jnp.where(m, dec[j][2], b)
+        return h, c, b
+
+    node_bits = hits >> 24
+    leaf_bits = hits & LEAF_MASK
+    eligible = (leaf_bits == 0) & (node_bits != 0)
+    slot1, rest1 = _extract_slot(node_bits, oct_key)
+    slot2, rest2 = _extract_slot(rest1, oct_key)
+    have2 = rest1 != 0
+    g1h, g1c, g1b = select(slot1)
+    g2h, g2c, g2b = select(slot2)
+
+    rem_h = rest2 << 24                       # unprocessed far children
+    has_rem = eligible & (rem_h != 0)
+    has_g2 = eligible & have2 & (g2h != 0)
+    # stack rows (planes are zero at init): top = row 0
+    top_h = jnp.where(has_g2, g2h, rem_h)
+    top_c = jnp.where(has_g2, g2c, chim)
+    top_b = jnp.where(has_g2, g2b, bleaf)
+    bot_on = has_g2 & has_rem
+    take_top = has_g2 | has_rem
+    phits = st["phits"].at[0].set(jnp.where(take_top, top_h, 0))
+    pchim = st["pchim"].at[0].set(jnp.where(take_top, top_c, 0))
+    pbleaf = st["pbleaf"].at[0].set(jnp.where(take_top, top_b, 0))
+    phits = phits.at[1].set(jnp.where(bot_on, rem_h, 0))
+    pchim = pchim.at[1].set(jnp.where(bot_on, chim, 0))
+    pbleaf = pbleaf.at[1].set(jnp.where(bot_on, bleaf, 0))
+    sp = jnp.where(eligible,
+                   take_top.astype(jnp.int32) + bot_on.astype(jnp.int32),
+                   st["sp"])
+    return dict(st,
+                hits=jnp.where(eligible, g1h, hits),
+                chim=jnp.where(eligible, g1c, chim),
+                bleaf=jnp.where(eligible, g1b, bleaf),
+                phits=jnp.where(eligible[None, :], phits, st["phits"]),
+                pchim=jnp.where(eligible[None, :], pchim, st["pchim"]),
+                pbleaf=jnp.where(eligible[None, :], pbleaf, st["pbleaf"]),
+                sp=sp)
 
 
 def _active(st):
@@ -579,6 +664,8 @@ def _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
     L, C = leaf_rows.shape[0], nodes.shape[0]
     assert C < (1 << 24) and L < (1 << 24), \
         "chim/bleaf pack base indices into 24 bits"
+    if _TOP_PREPASS and isinstance(root, int):
+        max_stack += 1   # prepass parks TWO level-1 groups
     unified = _pack_table(nodes, leaf_rows)
     st = _init_state(unified, ro, rd, t_max, root, max_stack)
     st = _run_stage(unified, L, C, any_hit, st, 0)
@@ -590,6 +677,8 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
     """Occupancy-cascade traversal (see module docstring)."""
     R = ro.shape[0]
     L, C = leaf_rows.shape[0], nodes.shape[0]
+    if _TOP_PREPASS and isinstance(root, int):
+        max_stack += 1   # prepass parks TWO level-1 groups
     unified = _pack_table(nodes, leaf_rows)
     st = _init_state(unified, ro, rd, t_max, root, max_stack)
 
@@ -674,10 +763,12 @@ def mixed_hit_wavefront(nodes, leaf_rows, ro, rd, t_max, is_any,
     R = ro.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
 
+    ms = max_stack + 1 if _TOP_PREPASS else max_stack
+
     def run(o, d, tm, af):
         L, C = leaf_rows.shape[0], nodes.shape[0]
         unified = _pack_table(nodes, leaf_rows)
-        st = _init_state(unified, o, d, tm, 0, max_stack)
+        st = _init_state(unified, o, d, tm, 0, ms)
         st = dict(st, anyf=af)
         n = o.shape[0]
         if cascade and n >= _CASCADE_MIN_RAYS:
@@ -836,6 +927,8 @@ def transmit_wavefront(nodes, leaf_rows, tint, ro, rd, t_max,
     (1 = unoccluded, 0 = fully blocked). tint: [T,3] from
     scene compile (mesh.py shadow_tint_table)."""
     L, C = leaf_rows.shape[0], nodes.shape[0]
+    if _TOP_PREPASS:
+        max_stack += 1   # prepass parks TWO level-1 groups
     unified = _pack_table(nodes, leaf_rows)
     st = _init_state(unified, ro, rd, t_max, 0, max_stack)
     R = ro.shape[0]
