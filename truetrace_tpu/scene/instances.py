@@ -119,11 +119,9 @@ def build_source(mesh: HostMesh, leaf_k: int = 3) -> SourceBuild:
 
 def _auto_leaf_k(sources: Sequence[HostMesh]) -> int:
     """Same data-driven rule as compile_scene(leaf_k=None): fat k=12
-    rows above 250k total source tris (the unified gather table is per
-    SOURCE, so unique geometry — not instance count — sets its size);
-    measured fastest at both 293k and 5.2M tris (BASELINE.md round 3)."""
-    total = sum(int(m.indices.shape[0]) for m in sources)
-    return 12 if total > 250_000 else 3
+    rows at every scale (measured fastest from 27k to 5.2M tris —
+    BASELINE.md round-3/4 fat-leaf tables)."""
+    return 12
 
 
 def build_instanced(sources: Sequence[HostMesh],

@@ -241,8 +241,8 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     flat W>=60 HBM gather mode and roughly halves leaf iterations on
     scenes whose table exceeds the ~30 MB on-chip cache — use for
     multi-million-triangle scenes (BASELINE.md round-3 width map).
-    None = auto: 12 above 250k tris (k12 measured fastest at both 293k
-    and 5.2M tris, BASELINE.md round-3 fat-leaf tables), else 3."""
+    None = auto: 12 at every scale (measured fastest from 27k to 5.2M
+    tris — BASELINE.md round-3/4 fat-leaf tables)."""
     tris = flatten_meshes(meshes)
     if presplit > 0.0:
         from truetrace_tpu.build.presplit import presplit_triangles
@@ -250,10 +250,10 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     tri_box = aabb_ops.from_tris(
         tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
     if leaf_k is None:
-        # k12 measured fastest at BOTH 293k (4.52 vs 3.92 Mrays/s) and
-        # 5.2M tris (2.12 vs 0.75) — BASELINE.md round-3 fat-leaf
-        # tables; below ~250k is unmeasured, keep the k3 layout
-        leaf_k = 12 if tris["p0"].shape[0] > 250_000 else 3
+        # k12 measured fastest at EVERY scale swept: 27.6k tris (4.90 vs
+        # 4.79 Mrays/s k3), 120k (4.80 vs 4.76), 293k (4.52 vs 3.92) and
+        # 5.2M (2.12 vs 0.75) — BASELINE.md round-3/4 fat-leaf tables
+        leaf_k = 12
 
     # on-disk build cache (reference "Build Aggregated BVH" persistence,
     # README.md:131; scene/build_cache.py): reuse BVH2 + CWBVH + light-BVH
