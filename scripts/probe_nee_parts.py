@@ -69,45 +69,51 @@ def main():
 
     out = {}
 
-    # 4 rounds = the 4 bounces of the 512^2 frame
-    def four(f, *args):
-        def g(*a):
-            outs = []
-            for i in range(4):
-                outs.append(f(*a))
-            return outs
-        return jax.jit(g)
+    # 4 DISTINCT rounds (fresh randoms per round — identical args would
+    # CSE into one call under jit and report fantasy numbers)
+    us = [rng.uniform1(pix, jnp.uint32(i), jnp.uint32(3))
+          for i in range(4)]
+    u2s = [rng.uniform2(pix, jnp.uint32(i), jnp.uint32(4))
+           for i in range(4)]
 
-    f_cut = four(lambda: _cut_select(scene.lcut_bounds, p, n, u))
-    t, _ = timed(f_cut)
+    def four(f):
+        return jax.jit(lambda: [f(us[i], u2s[i]) for i in range(4)])
+
+    t, _ = timed(four(lambda ui, u2i: _cut_select(
+        scene.lcut_bounds, p, n, ui)))
     out["cut_select_x4_ms"] = t * 1e3
 
-    f_full = four(lambda: sample_light_tree_cut(
+    t, _ = timed(four(lambda ui, u2i: sample_light_tree_cut(
         scene.lbvh_pairs, scene.lbvh_prim, scene.lcut_bounds,
-        scene.lcut_link, p, n, u))
-    t, _ = timed(f_full)
+        scene.lcut_link, p, n, ui)))
     out["tree_cut_full_x4_ms"] = t * 1e3
 
-    f_s = four(lambda: sample_light_tris(scene, p, u, u2, sn=n,
-                                         use_tree=True, approx_mis=True))
-    t, _ = timed(f_s)
+    t, _ = timed(four(lambda ui, u2i: sample_light_tris(
+        scene, p, ui, u2i, sn=n, use_tree=True, approx_mis=True)))
     out["sample_light_tris_x4_ms"] = t * 1e3
 
-    wi = jnp.tile(jnp.asarray([[0.5, 0.7, 0.5]]), (R, 1))
-    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
-    f_d = four(lambda: disney_eval(mat, n, wo, wi))
-    t, _ = timed(f_d)
+    def eval_dirs(ui, u2i):
+        wi = jnp.stack([u2i[:, 0], ui, u2i[:, 1]], -1)
+        wi = wi / jnp.maximum(
+            jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-6)
+        return disney_eval(mat, n, wo, wi)
+
+    t, _ = timed(four(eval_dirs))
     out["disney_eval_x4_ms"] = t * 1e3
 
     from truetrace_tpu.integrate.pathtrace import lambert_eval
-    f_l = four(lambda: lambert_eval(mat, n, wo, wi))
-    t, _ = timed(f_l)
+
+    def eval_lam(ui, u2i):
+        wi = jnp.stack([u2i[:, 0], ui, u2i[:, 1]], -1)
+        wi = wi / jnp.maximum(
+            jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-6)
+        return lambert_eval(mat, n, wo, wi)
+
+    t, _ = timed(four(eval_lam))
     out["lambert_eval_x4_ms"] = t * 1e3
 
-    # CDF select baseline
-    f_c = four(lambda: sample_light_tris(scene, p, u, u2, sn=n,
-                                         use_tree=False))
-    t, _ = timed(f_c)
+    t, _ = timed(four(lambda ui, u2i: sample_light_tris(
+        scene, p, ui, u2i, sn=n, use_tree=False)))
     out["sample_cdf_x4_ms"] = t * 1e3
 
     print(json.dumps({k: round(v, 1) for k, v in out.items()}), flush=True)

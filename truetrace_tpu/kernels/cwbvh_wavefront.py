@@ -91,9 +91,13 @@ MAX_STACK = int(os.environ.get("TT_MAX_STACK", "16"))
 # Top-level prepass (TT_TOP_PREPASS=1): decode the root's children OUTSIDE
 # the loop from scalar-indexed row slices (dynamic-slice, NO per-ray
 # gather, no [R,W] row materialization) and hand the loop the two nearest
-# pre-decoded groups — saves ~2 full loop iterations per ray at the cost
-# of 8 broadcast slab tests + one extra stack row. Single-BLAS scalar
-# roots only (the TLAS path roots subtrees per ray).
+# pre-decoded groups. Single-BLAS scalar roots only (the TLAS path roots
+# subtrees per ray). MEASURED NEUTRAL on v5e (4.790 vs 4.781 Mrays/s,
+# round-4 bench mix, scripts/tune_prepass.py): the ~2 saved iterations
+# are offset by the extra stack row + prepass decodes — the in-loop
+# dependent gather is throughput-bound at 64k lanes, not latency-bound,
+# so skipping shallow iterations buys nothing. Kept for study; off by
+# default.
 _TOP_PREPASS = os.environ.get("TT_TOP_PREPASS", "0") == "1"
 PTR_MASK = U32(0x00FFFFFF)   # low 24 bits of chim/bleaf hold the base index
 LEAF_MASK = U32(0x000000FF)  # hits bits 0..7 = pending leaf slots
