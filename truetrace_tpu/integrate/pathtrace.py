@@ -175,6 +175,36 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
     else:
         idx = jnp.clip(jnp.searchsorted(lt.cdf, u_sel), 0, L - 1)
         pmf = lt.pmf[idx]
+    if lt.rows is not None:
+        # ONE cache-hot gather from the packed [L,18] light-row table
+        # (p0/e1/e2/gn/area/pmf/emission precomputed at compile) replaces
+        # 6 scattered gathers into the big tri/material tables — measured
+        # 50 ms of the 512^2x4 frame (round-4 NEE probe). Transpose the
+        # gathered rows ONCE and read [R] columns (CLAUDE.md layout rule).
+        row = lt.rows[idx].T                  # [18,R]
+        c = lambda k: row[k]
+        su = jnp.sqrt(u2[..., 0])
+        b1 = 1.0 - su
+        b2 = u2[..., 1] * su
+        lpx = c(0) + c(3) * b1 + c(6) * b2
+        lpy = c(1) + c(4) * b1 + c(7) * b2
+        lpz = c(2) + c(5) * b1 + c(8) * b2
+        tox = lpx - p[..., 0]
+        toy = lpy - p[..., 1]
+        toz = lpz - p[..., 2]
+        d2 = jnp.maximum(tox * tox + toy * toy + toz * toz, 1e-12)
+        inv_d = jax.lax.rsqrt(d2)
+        wix, wiy, wiz = tox * inv_d, toy * inv_d, toz * inv_d
+        cos_l = -(wix * c(9) + wiy * c(10) + wiz * c(11))
+        geo = d2 / jnp.maximum(cos_l * c(12), 1e-12)
+        pdf_sa = pmf * geo
+        valid = (cos_l > 1e-6) & (L > 0)
+        pdf_w = c(13) * geo if (use_tree and approx_mis) else pdf_sa
+        return LightSample(pos=jnp.stack([lpx, lpy, lpz], -1),
+                           normal=jnp.stack([c(9), c(10), c(11)], -1),
+                           radiance=jnp.stack([c(14), c(15), c(16)], -1),
+                           pdf_sa=pdf_sa, valid=valid, pdf_w=pdf_w)
+
     tid = lt.tri_index[idx]
 
     p0 = scene.tri_p0[tid]
@@ -238,13 +268,17 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
         pmf = scene.light_tris.pmf[jnp.maximum(li, 0)]
     # area from the light's own (world-space) triangle row — for
     # instanced scenes tri_index points at the appended world copies
-    tid_l = scene.light_tris.tri_index[
-        jnp.clip(jnp.maximum(li, 0), 0,
-                 max(scene.light_tris.tri_index.shape[0] - 1, 0))] \
-        if scene.light_tris.tri_index.shape[0] > 0 else tid
-    e1 = scene.tri_e1[tid_l]
-    e2 = scene.tri_e2[tid_l]
-    area = 0.5 * jnp.linalg.norm(cross(e1, e2), axis=-1)
+    if scene.light_tris.rows is not None \
+            and scene.light_tris.rows.shape[0] > 0:
+        area = scene.light_tris.rows[jnp.maximum(li, 0), 12]
+    else:
+        tid_l = scene.light_tris.tri_index[
+            jnp.clip(jnp.maximum(li, 0), 0,
+                     max(scene.light_tris.tri_index.shape[0] - 1, 0))] \
+            if scene.light_tris.tri_index.shape[0] > 0 else tid
+        e1 = scene.tri_e1[tid_l]
+        e2 = scene.tri_e2[tid_l]
+        area = 0.5 * jnp.linalg.norm(cross(e1, e2), axis=-1)
     to_l = hit_p - p
     d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
     pdf = pmf * d2 / jnp.maximum(cos_l * area, 1e-12)

@@ -137,6 +137,15 @@ def pose_scene(dyn: DynamicScene, bones: jnp.ndarray) -> Scene:
     tri_n = dyn.scene.tri_n.at[sk_cw].set(
         jnp.repeat(gn[sk_cw][:, None, :], 3, axis=1))
 
+    # refresh the packed NEE light rows for deformed emissives (geometry
+    # columns only; power/cdf/pmf stay — consistent sampler/pdf pair)
+    lt = dyn.scene.light_tris
+    if lt.rows is not None and lt.rows.shape[0] > 0:
+        from truetrace_tpu.scene.mesh import pack_light_rows
+        ids = lt.tri_index
+        lt = lt.replace(rows=pack_light_rows(
+            p0c[ids], e1c[ids], e2c[ids], lt.rows[:, 14:17], lt.pmf))
+
     return dyn.scene.replace(cw_nodes=nodes2, cw_leaf_rows=rows,
                              tri_p0=p0c, tri_e1=e1c, tri_e2=e2c,
-                             tri_n=tri_n)
+                             tri_n=tri_n, light_tris=lt)

@@ -354,17 +354,26 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
         inv = np.full((T,), -1, np.int32)
         inv[ids] = np.arange(A, dtype=np.int32)
+        from truetrace_tpu.scene.mesh import pack_light_rows
+        emis_rgb = np.array([m.emission for m in mats],
+                            np.float32)[tri["mat"][ids]]
         light_tris = LightTris(
             tri_index=jnp.asarray(ids), power=jnp.asarray(power),
             cdf=jnp.asarray(cdf.astype(np.float32)), pmf=jnp.asarray(pmf),
-            tri_to_light=jnp.asarray(inv))
+            tri_to_light=jnp.asarray(inv),
+            rows=pack_light_rows(jnp.asarray(tri["p0"][ids]),
+                                 jnp.asarray(tri["e1"][ids]),
+                                 jnp.asarray(tri["e2"][ids]),
+                                 jnp.asarray(emis_rgb),
+                                 jnp.asarray(pmf)))
     else:
         light_tris = LightTris(
             tri_index=jnp.zeros((0,), jnp.int32),
             power=jnp.zeros((0,), jnp.float32),
             cdf=jnp.zeros((0,), jnp.float32),
             pmf=jnp.zeros((0,), jnp.float32),
-            tri_to_light=jnp.full((T,), -1, jnp.int32))
+            tri_to_light=jnp.full((T,), -1, jnp.int32),
+            rows=jnp.zeros((0, 18), jnp.float32))
 
     lbvh_nodes = jnp.zeros((0, 12), jnp.float32)
     lbvh_info = jnp.zeros((0, 2), jnp.int32)
@@ -517,12 +526,21 @@ def update_instance_transforms(scene, isc: InstancedScene, mats,
         cdf = np.cumsum(power)
         cdf /= max(cdf[-1], 1e-20)
         pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
+        from truetrace_tpu.scene.mesh import pack_light_rows
+        em_ids = np.asarray(scene.light_tris.tri_index) - T_local
+        emis_rgb = np.array([m.emission for m in mats],
+                            np.float32)[app["mat"][em_ids]]
         upd["light_tris"] = LightTris(
             tri_index=scene.light_tris.tri_index,
             power=jnp.asarray(power),
             cdf=jnp.asarray(cdf.astype(np.float32)),
             pmf=jnp.asarray(pmf),
-            tri_to_light=scene.light_tris.tri_to_light)
+            tri_to_light=scene.light_tris.tri_to_light,
+            rows=pack_light_rows(jnp.asarray(app["p0"][em_ids]),
+                                 jnp.asarray(app["e1"][em_ids]),
+                                 jnp.asarray(app["e2"][em_ids]),
+                                 jnp.asarray(emis_rgb),
+                                 jnp.asarray(pmf)))
         if scene.lbvh_pairs.shape[0] > 0:
             from truetrace_tpu.build.lightbvh import (build_cut,
                                                       build_light_bvh,

@@ -164,6 +164,12 @@ class LightTris:
     cdf: jnp.ndarray          # [L] inclusive normalized CDF over power
     pmf: jnp.ndarray          # [L] selection probability (cdf diff)
     tri_to_light: jnp.ndarray # [T] int32 inverse map, -1 = not emissive
+    # packed per-light sample rows [L,18]: p0(0:3) e1(3:6) e2(6:9)
+    # unit-gn(9:12) area(12) pmf(13) emission(14:17) pad(17). ONE
+    # cache-hot gather replaces the 6 scattered big-table gathers the
+    # NEE sample otherwise pays per lane per bounce — measured 50 ms of
+    # a 512^2x4 frame (round-4 NEE probe). None on legacy pytrees.
+    rows: Optional[jnp.ndarray] = None
 
 
 @struct.dataclass
