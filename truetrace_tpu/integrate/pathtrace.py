@@ -162,11 +162,14 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
     L = lt.tri_index.shape[0]
     if use_tree:
         if scene.lcut_bounds is not None:
-            # dense cut selection (gather-free) + residual descent
+            # dense cut selection (gather-free) + residual descent; the
+            # approx-MIS mode runs the bandwidth-bound dense select in
+            # bf16 (pmf stays exact — cdf-difference form)
             from truetrace_tpu.kernels.lighttree import sample_light_tree_cut
             idx, pmf, _ = sample_light_tree_cut(
                 scene.lbvh_pairs, scene.lbvh_prim, scene.lcut_bounds,
-                scene.lcut_link, p, sn, u_sel)
+                scene.lcut_link, p, sn, u_sel,
+                select_dtype=jnp.bfloat16 if approx_mis else jnp.float32)
         else:
             from truetrace_tpu.kernels.lighttree import sample_light_tree
             idx, pmf, _ = sample_light_tree(

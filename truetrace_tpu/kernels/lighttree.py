@@ -136,7 +136,8 @@ def sample_light_tree(pairs, prim, p, n, u):
     return prim[first], pmf, u
 
 
-def _importance_dense(cut, px, py, pz, nx, ny, nz):
+def _importance_dense(cut, px, py, pz, nx, ny, nz,
+                      dtype=jnp.float32):
     """PBRT-4 importance of every cut node for every lane: [M,R] from
     cut [M,12] and [R] point/normal columns. No gathers — pure broadcast
     VPU work (the whole point of the cut: the per-step dependent gathers
@@ -144,10 +145,20 @@ def _importance_dense(cut, px, py, pz, nx, ny, nz):
 
     Layout note: [M,R] puts the ray batch on the TPU lane dimension
     (R >> 128) and the cut on sublanes; the transposed [R,M] would pad
-    M (~40-128) up to 128 lanes and waste up to 3x VPU width."""
+    M (~40-128) up to 128 lanes and waste up to 3x VPU width.
+
+    dtype: bfloat16 halves the [M,R] intermediate traffic (the dense
+    select is bandwidth-bound — ~0.27 ms/row/bounce at 262k lanes,
+    round-4 probe). Callers that need the selection pmf must derive it
+    from CDF DIFFERENCES of these values (see _cut_select) so the
+    reported pmf equals the actual sampling distribution exactly in any
+    precision."""
+    cut = cut.astype(dtype)
     c = lambda k: cut[:, k][:, None]
-    px, py, pz = px[None, :], py[None, :], pz[None, :]
-    nx, ny, nz = nx[None, :], ny[None, :], nz[None, :]
+    px, py, pz = (px.astype(dtype)[None, :], py.astype(dtype)[None, :],
+                  pz.astype(dtype)[None, :])
+    nx, ny, nz = (nx.astype(dtype)[None, :], ny.astype(dtype)[None, :],
+                  nz.astype(dtype)[None, :])
     lox, loy, loz = c(0), c(1), c(2)
     hix, hiy, hiz = c(3), c(4), c(5)
     ax, ay, az = c(6), c(7), c(8)
@@ -182,36 +193,53 @@ def _importance_dense(cut, px, py, pz, nx, ny, nz):
     return jnp.maximum(imp * cos_ip, 0.0)
 
 
-def _cut_select(cut_bounds, p, n, u):
+def _cut_select(cut_bounds, p, n, u, dtype=jnp.float32):
     """Categorical pick over the cut: returns (pick [R] i32, p_cut [R],
-    u' [R] rescaled within the bin)."""
+    u' [R] rescaled within the bin).
+
+    The pmf is derived from CDF DIFFERENCES (not the raw importance), so
+    p_cut equals the realized sampling distribution bit-exactly even
+    when `dtype` is bfloat16 and the cumsum rounds."""
     px, py, pz = p[..., 0], p[..., 1], p[..., 2]
     nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
-    imp = _importance_dense(cut_bounds, px, py, pz, nx, ny, nz)  # [M,R]
+    imp = _importance_dense(cut_bounds, px, py, pz, nx, ny, nz,
+                            dtype=dtype)                       # [M,R]
     M = imp.shape[0]
-    tot = jnp.sum(imp, axis=0)
+    cdf = jnp.cumsum(imp.astype(jnp.float32), axis=0)
+    tot = cdf[-1]
     # all-zero importance (point outside every cone): uniform fallback
-    imp = jnp.where((tot > 0.0)[None, :], imp, 1.0)
-    tot = jnp.where(tot > 0.0, tot, jnp.float32(M))
-    cdf = jnp.cumsum(imp, axis=0)
+    zero = tot <= 0.0
+    ramp = jnp.arange(1, M + 1, dtype=jnp.float32)[:, None]
+    cdf = jnp.where(zero[None, :], jnp.broadcast_to(ramp, cdf.shape), cdf)
+    tot = jnp.where(zero, jnp.float32(M), tot)
     x = u * tot
     pick = jnp.clip(jnp.sum((cdf <= x[None, :]).astype(jnp.int32), axis=0),
                     0, M - 1)
-    ival = jnp.take_along_axis(imp, pick[None, :], axis=0)[0]
     chi = jnp.take_along_axis(cdf, pick[None, :], axis=0)[0]
-    u2 = jnp.clip((x - (chi - ival)) / jnp.maximum(ival, 1e-20),
+    prev = jnp.where(
+        pick > 0,
+        jnp.take_along_axis(cdf, jnp.maximum(pick - 1, 0)[None, :],
+                            axis=0)[0], 0.0)
+    width = jnp.maximum(chi - prev, 0.0)
+    u2 = jnp.clip((x - prev) / jnp.maximum(width, 1e-20),
                   0.0, 1.0 - 1e-7)
-    p_cut = ival / tot
+    p_cut = width / tot
     return pick, p_cut, u2
 
 
-def sample_light_tree_cut(pairs, prim, cut_bounds, cut_link, p, n, u):
+def sample_light_tree_cut(pairs, prim, cut_bounds, cut_link, p, n, u,
+                          select_dtype=jnp.float32):
     """Cut-based light selection: dense categorical over the cut, then a
     residual descent below the chosen cut node (zero iterations when the
-    cut is the leaf set). Same contract as sample_light_tree."""
+    cut is the leaf set). Same contract as sample_light_tree.
+
+    select_dtype=bfloat16 halves the dense select's bandwidth; the
+    returned pmf still matches the sampling distribution exactly
+    (cdf-difference form). Use ONLY with approx MIS — the exact-MIS
+    light_tree_pdf_cut recomputes importance in f32 and would drift."""
     R = p.shape[0]
     Ni = pairs.shape[0]
-    pick, p_cut, u = _cut_select(cut_bounds, p, n, u)
+    pick, p_cut, u = _cut_select(cut_bounds, p, n, u, dtype=select_dtype)
     link = cut_link[pick]
     leaf_now = link < 0
     first = jnp.where(leaf_now, -(link + 1), 0)
