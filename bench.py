@@ -91,9 +91,9 @@ def main():
     from truetrace_tpu.scene.mesh import compile_scene
 
     scene_kind = os.environ.get("BENCH_SCENE", "both")
-    # 64k-ray batches: measured sweet spot on v5e with the leaf-row table
-    # + occupancy cascade (see BASELINE.md)
-    R = int(os.environ.get("BENCH_RAYS", str(1 << 16)))
+    # 128k-ray batches: the cascade chunks them into two 64k stages whose
+    # tails pipeline — measured 5.06 vs 4.78 Mrays/s at 64k (round 4)
+    R = int(os.environ.get("BENCH_RAYS", str(1 << 17)))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     detail_s = float(os.environ.get("BENCH_DETAIL", "5"))
     # leaf_k=0 -> auto (fat leaf rows, compile_scene): measured faster at

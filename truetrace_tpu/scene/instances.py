@@ -127,7 +127,7 @@ def _auto_leaf_k(sources: Sequence[HostMesh]) -> int:
 def build_instanced(sources: Sequence[HostMesh],
                     instances: Sequence[Tuple[int, np.ndarray]],
                     prebuilt: Optional[Sequence[SourceBuild]] = None,
-                    leaf_k: Optional[int] = 3) -> InstancedScene:
+                    leaf_k: Optional[int] = None) -> InstancedScene:
     """sources: one HostMesh per unique geometry (local space);
     instances: (source_id, l2w 4x4) pairs. prebuilt: optional per-source
     BLAS builds (AssetManager background pool) — skips rebuild (they
@@ -314,7 +314,7 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
                             atlas_rects=None, atlas_level_y=None,
                             with_light_bvh: bool = False,
                             prebuilt=None,
-                            leaf_k: Optional[int] = 3):
+                            leaf_k: Optional[int] = None):
     """Build a full render-ready Scene for an instanced world: shared
     local-space BLASes + an interleaved TLAS (traversal="tlas"), with
     materials/normals/UVs/NEE all wired through the integrator — the

@@ -245,7 +245,7 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   max_leaf: int = 4, with_cwbvh: bool = False,
                   with_light_bvh: bool = False, terrain=None,
                   presplit: float = 0.0,
-                  leaf_k: Optional[int] = 3,
+                  leaf_k: Optional[int] = None,
                   cache_dir: Optional[str] = None) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS).
 
