@@ -292,6 +292,17 @@ def light_pdf_sa(scene: Scene, tid, p, hit_p, cos_l, sn_prev=None,
 # the integrator
 # ---------------------------------------------------------------------------
 
+def _scene_max_leaf(scene: Scene, cfg: "RenderConfig") -> int:
+    """Static BVH2 leaf capacity for the bvh2 oracle path. A
+    with_cwbvh compile builds max_leaf = leaf_k leaves (derivable from
+    the packed row width); plain builds use cfg.max_leaf. Passing too
+    small a value silently skips tris 5..k per leaf (round-4 bug:
+    auto-k12 default broke the drive's bvh2 render)."""
+    if scene.cw_leaf_rows.shape[0] > 0:
+        return max(cfg.max_leaf, scene.cw_leaf_rows.shape[1] // 10)
+    return cfg.max_leaf
+
+
 def _trace(scene: Scene, ro, rd, cfg: "RenderConfig", alive=None):
     """Closest hit. Returns (Hit, inst [R] int32 — -1 except for the
     two-level "tlas" path, where it is the hit instance id)."""
@@ -325,7 +336,7 @@ def _trace(scene: Scene, ro, rd, cfg: "RenderConfig", alive=None):
     return closest_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
         scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, t_max,
-        max_leaf=cfg.max_leaf), no_inst
+        max_leaf=_scene_max_leaf(scene, cfg)), no_inst
 
 
 def _occluded(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
@@ -391,7 +402,7 @@ def _occluded_mesh(scene: Scene, ro, rd, t_max, cfg: "RenderConfig"):
     return any_hit_bvh2(
         scene.bvh2_box, scene.bvh2_left, scene.bvh2_count,
         scene.tri_p0, scene.tri_e1, scene.tri_e2, ro, rd, t_max,
-        max_leaf=cfg.max_leaf)
+        max_leaf=_scene_max_leaf(scene, cfg))
 
 
 def render_sample(scene: Scene, cam: Camera, cfg: RenderConfig,
