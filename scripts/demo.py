@@ -223,6 +223,79 @@ def main():
     print(f"twilight: {time.time()-t0:.1f}s", flush=True)
     save("twilight_stars.png", img, exposure=6.0)
 
+    # 6. Round-4 showcase: nested dielectrics (glass sphere inside a
+    # water block — per-lane medium stack) against a tiled + rotated
+    # brick-checker wall (per-material UV transforms) under blue-noise
+    # sampling
+    builder6 = AtlasBuilder()
+    t6 = np.zeros((32, 32, 3), np.float32)
+    t6[...] = (0.65, 0.3, 0.22)                      # brick
+    t6[::8] = (0.85, 0.82, 0.78)                     # mortar rows
+    t6[:, ::8] = (0.85, 0.82, 0.78)
+    brick_id = builder6.add(t6)
+    atlas6, rects6, level_y6 = builder6.build()
+    mats6 = [
+        HostMaterial(base_color=(0.7, 0.7, 0.7), roughness=0.9),  # floor
+        HostMaterial(base_color=(1, 1, 1), roughness=0.8,
+                     tex_albedo=brick_id,
+                     uv_scale=(4.0, 4.0, 0.0, 0.0),
+                     uv_rot=float(np.pi / 6)),       # tiled+rotated wall
+        HostMaterial(base_color=(0.8, 0.92, 1.0), roughness=0.02,
+                     spec_trans=1.0, ior=1.33,
+                     transmit_color=(0.75, 0.92, 1.0)),  # water block
+        HostMaterial(base_color=(1.0, 0.85, 0.8), roughness=0.02,
+                     spec_trans=1.0, ior=1.5,
+                     transmit_color=(1.0, 0.55, 0.45)),  # rose glass
+        HostMaterial(emission=(22.0, 21.0, 19.0)),
+    ]
+    fl6 = np.array([[-4, 0, -4], [4, 0, -4], [4, 0, 4], [-4, 0, 4]],
+                   np.float32)
+    fi6 = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    wall = np.array([[-4, 0, -2.5], [4, 0, -2.5], [4, 4, -2.5],
+                     [-4, 4, -2.5]], np.float32)
+    wuv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    wi6 = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    lq6 = np.array([[-1, 3.9, 0.2], [1, 3.9, 0.2], [1, 3.9, 2.0],
+                    [-1, 3.9, 2.0]], np.float32)
+    li6 = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+
+    def box6(lo, hi, m):
+        lo = np.asarray(lo, np.float32)
+        hi = np.asarray(hi, np.float32)
+        x0, y0, z0 = lo
+        x1, y1, z1 = hi
+        v = np.array([[x0, y0, z0], [x1, y0, z0], [x1, y1, z0],
+                      [x0, y1, z0], [x0, y0, z1], [x1, y0, z1],
+                      [x1, y1, z1], [x0, y1, z1]], np.float32)
+        f = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                      [0, 1, 5], [0, 5, 4], [3, 6, 2], [3, 7, 6],
+                      [0, 4, 7], [0, 7, 3], [1, 2, 6], [1, 6, 5]],
+                     np.int32)
+        return HostMesh(v, f, np.full(len(f), m, np.int32))
+
+    water = box6((-1.0, 0.001, 0.0), (1.0, 1.6, 1.6), 2)
+    sv6, si6, _ = uv_sphere(20, 30, radius=0.45)
+    glass_sph = HostMesh(transform(sv6, translate=(0.0, 0.8, 0.8)), si6,
+                         np.full(len(si6), 3, np.int32))
+    meshes6 = [
+        HostMesh(fl6, fi6, np.zeros(2, np.int32)),
+        HostMesh(wall, wi6, np.ones(2, np.int32), uvs=wuv),
+        water, glass_sph,
+        HostMesh(lq6, li6, np.full(2, 4, np.int32)),
+    ]
+    scene6 = compile_scene(meshes6, mats6, atlas=atlas6,
+                           atlas_rects=rects6, atlas_level_y=level_y6,
+                           with_cwbvh=True)
+    cam6 = Camera.look_at(eye=(0.2, 1.6, 5.2), target=(0, 1.0, 0.3),
+                          fov_y_deg=42)
+    cfg6 = RenderConfig(width=res, height=res, bounces=10, bsdf="disney",
+                        traversal="wavefront", sampler="bluenoise",
+                        rr_start=6)
+    t0 = time.time()
+    img = render_chunked(scene6, cam6, cfg6, spp, chunk=12)
+    print(f"nested_glass: {time.time()-t0:.1f}s", flush=True)
+    save("nested_glass.png", img, exposure=1.5)
+
 
 if __name__ == "__main__":
     main()

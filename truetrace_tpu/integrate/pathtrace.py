@@ -184,7 +184,7 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
         # 6 scattered gathers into the big tri/material tables — measured
         # 50 ms of the 512^2x4 frame (round-4 NEE probe). Transpose the
         # gathered rows ONCE and read [R] columns (CLAUDE.md layout rule).
-        row = lt.rows[idx].T                  # [18,R]
+        row = lt.rows[idx].T                  # [16,R]
         c = lambda k: row[k]
         su = jnp.sqrt(u2[..., 0])
         b1 = 1.0 - su
@@ -203,9 +203,14 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
         pdf_sa = pmf * geo
         valid = (cos_l > 1e-6) & (L > 0)
         pdf_w = c(13) * geo if (use_tree and approx_mis) else pdf_sa
+        # emission from the LIVE material table (tiny cache-hot gather):
+        # material edits and emission gradients keep flowing
+        mid = c(14).astype(jnp.int32)
+        emis = scene.materials.emission[jnp.clip(
+            mid, 0, scene.materials.n_materials() - 1)]
         return LightSample(pos=jnp.stack([lpx, lpy, lpz], -1),
                            normal=jnp.stack([c(9), c(10), c(11)], -1),
-                           radiance=jnp.stack([c(14), c(15), c(16)], -1),
+                           radiance=emis,
                            pdf_sa=pdf_sa, valid=valid, pdf_w=pdf_w)
 
     tid = lt.tri_index[idx]

@@ -79,8 +79,11 @@ def compile_dynamic_scene(mesh: SkinnedMesh, skin_mat_id: int,
     perm = bvh.order[cw.tri_index]          # input order -> CWBVH order
     inv_perm = np.argsort(perm)
 
+    # leaf_k pinned to 3: the refit metadata above (slot_*, flat_*) is
+    # built from THIS k=3 BVH2/CWBVH — it must match the scene's build
     scene = compile_scene(meshes, mats, env=env, lights=lights,
-                          with_cwbvh=True, with_light_bvh=with_light_bvh)
+                          with_cwbvh=True, with_light_bvh=with_light_bvh,
+                          leaf_k=3)
 
     n_static = sum(m.indices.shape[0] for m in static_meshes)
     skin_tri_ids = n_static + np.arange(mesh.tri_vidx.shape[0])
@@ -144,7 +147,7 @@ def pose_scene(dyn: DynamicScene, bones: jnp.ndarray) -> Scene:
         from truetrace_tpu.scene.mesh import pack_light_rows
         ids = lt.tri_index
         lt = lt.replace(rows=pack_light_rows(
-            p0c[ids], e1c[ids], e2c[ids], lt.rows[:, 14:17], lt.pmf))
+            p0c[ids], e1c[ids], e2c[ids], lt.rows[:, 14], lt.pmf))
 
     return dyn.scene.replace(cw_nodes=nodes2, cw_leaf_rows=rows,
                              tri_p0=p0c, tri_e1=e1c, tri_e2=e2c,

@@ -355,8 +355,6 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         inv = np.full((T,), -1, np.int32)
         inv[ids] = np.arange(A, dtype=np.int32)
         from truetrace_tpu.scene.mesh import pack_light_rows
-        emis_rgb = np.array([m.emission for m in mats],
-                            np.float32)[tri["mat"][ids]]
         light_tris = LightTris(
             tri_index=jnp.asarray(ids), power=jnp.asarray(power),
             cdf=jnp.asarray(cdf.astype(np.float32)), pmf=jnp.asarray(pmf),
@@ -364,7 +362,7 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
             rows=pack_light_rows(jnp.asarray(tri["p0"][ids]),
                                  jnp.asarray(tri["e1"][ids]),
                                  jnp.asarray(tri["e2"][ids]),
-                                 jnp.asarray(emis_rgb),
+                                 jnp.asarray(tri["mat"][ids]),
                                  jnp.asarray(pmf)))
     else:
         light_tris = LightTris(
@@ -373,7 +371,7 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
             cdf=jnp.zeros((0,), jnp.float32),
             pmf=jnp.zeros((0,), jnp.float32),
             tri_to_light=jnp.full((T,), -1, jnp.int32),
-            rows=jnp.zeros((0, 18), jnp.float32))
+            rows=jnp.zeros((0, 16), jnp.float32))
 
     lbvh_nodes = jnp.zeros((0, 12), jnp.float32)
     lbvh_info = jnp.zeros((0, 2), jnp.int32)
@@ -528,8 +526,6 @@ def update_instance_transforms(scene, isc: InstancedScene, mats,
         pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
         from truetrace_tpu.scene.mesh import pack_light_rows
         em_ids = np.asarray(scene.light_tris.tri_index) - T_local
-        emis_rgb = np.array([m.emission for m in mats],
-                            np.float32)[app["mat"][em_ids]]
         upd["light_tris"] = LightTris(
             tri_index=scene.light_tris.tri_index,
             power=jnp.asarray(power),
@@ -539,7 +535,7 @@ def update_instance_transforms(scene, isc: InstancedScene, mats,
             rows=pack_light_rows(jnp.asarray(app["p0"][em_ids]),
                                  jnp.asarray(app["e1"][em_ids]),
                                  jnp.asarray(app["e2"][em_ids]),
-                                 jnp.asarray(emis_rgb),
+                                 jnp.asarray(app["mat"][em_ids]),
                                  jnp.asarray(pmf)))
         if scene.lbvh_pairs.shape[0] > 0:
             from truetrace_tpu.build.lightbvh import (build_cut,

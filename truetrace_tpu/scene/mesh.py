@@ -169,18 +169,22 @@ def flatten_meshes(meshes: List[HostMesh]):
         mat=np.concatenate(ml))
 
 
-def pack_light_rows(p0, e1, e2, emis, pmf):
-    """[L,18] packed per-light NEE sample rows (LightTris.rows layout):
-    p0(0:3) e1(3:6) e2(6:9) unit-gn(9:12) area(12) pmf(13)
-    emission(14:17) pad. jnp throughout so refit/pose paths can rebuild
-    rows for deformed emissives under jit."""
+def pack_light_rows(p0, e1, e2, mat_id, pmf):
+    """[L,16] packed per-light NEE sample rows (LightTris.rows layout):
+    p0(0:3) e1(3:6) e2(6:9) unit-gn(9:12) area(12) pmf(13) mat_id(14,
+    exact-float) pad(15). Emission is NOT baked in — the sampler gathers
+    materials.emission[mat_id] (tiny cache-hot table) so live material
+    edits and emission gradients keep flowing. jnp throughout so
+    refit/pose paths can rebuild rows for deformed emissives under
+    jit."""
     gn = jnp.cross(e1, e2)
     area2 = jnp.linalg.norm(gn, axis=-1)
     gnu = gn / jnp.maximum(area2, 1e-20)[..., None]
     area = 0.5 * area2
     L = p0.shape[0]
     return jnp.concatenate(
-        [p0, e1, e2, gnu, area[:, None], pmf[:, None], emis,
+        [p0, e1, e2, gnu, area[:, None], pmf[:, None],
+         jnp.asarray(mat_id, jnp.float32)[:, None],
          jnp.zeros((L, 1), jnp.float32)], axis=1).astype(jnp.float32)
 
 
@@ -197,7 +201,7 @@ def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
                          cdf=jnp.zeros((0,), jnp.float32),
                          pmf=jnp.zeros((0,), jnp.float32),
                          tri_to_light=jnp.full((T,), -1, jnp.int32),
-                         rows=jnp.zeros((0, 18), jnp.float32))
+                         rows=jnp.zeros((0, 16), jnp.float32))
     area = 0.5 * np.linalg.norm(
         np.cross(tris["e1"][ids], tris["e2"][ids]), axis=-1)
     lum = np.array([0.2126 * m.emission[0] + 0.7152 * m.emission[1]
@@ -208,8 +212,6 @@ def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
     pmf = np.diff(np.concatenate([[0.0], cdf])).astype(np.float32)
     inv = np.full((T,), -1, np.int32)
     inv[ids] = np.arange(ids.size, dtype=np.int32)
-    emis_rgb = np.array([m.emission for m in mats],
-                        np.float32)[tris["mat"][ids]]
     return LightTris(tri_index=jnp.asarray(ids),
                      power=jnp.asarray(power.astype(np.float32)),
                      cdf=jnp.asarray(cdf.astype(np.float32)),
@@ -219,7 +221,8 @@ def _emissive_light_tris(tris, mats: List[HostMaterial]) -> LightTris:
                          jnp.asarray(tris["p0"][ids]),
                          jnp.asarray(tris["e1"][ids]),
                          jnp.asarray(tris["e2"][ids]),
-                         jnp.asarray(emis_rgb), jnp.asarray(pmf)))
+                         jnp.asarray(tris["mat"][ids]),
+                         jnp.asarray(pmf)))
 
 
 def shadow_tint_table(mats: List[HostMaterial], tri_mat: np.ndarray):
