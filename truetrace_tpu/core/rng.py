@@ -111,7 +111,10 @@ def blue_noise_mask():
     process (~60 ms) and cached."""
     global _BN_MASK
     if _BN_MASK is not None:
-        return _BN_MASK
+        # cached as NUMPY: converting per call keeps the constant out of
+        # whatever trace context first computed it (a jnp cache built
+        # under jit leaks that trace's context — UnexpectedTracerError)
+        return jnp.asarray(_BN_MASK)
     import numpy as np
     n = BN_SIZE
     sigma = 1.5      # adj-rank diff 0.40 + low/high spectral ratio ~0
@@ -131,9 +134,9 @@ def blue_noise_mask():
         taken[y, x] = True
         rank[y, x] = r
         energy += np.roll(np.roll(kernel, y, axis=0), x, axis=1)
-    _BN_MASK = jnp.asarray((rank.reshape(-1).astype(np.float64)
-                            / (n * n)).astype(np.float32))
-    return _BN_MASK
+    _BN_MASK = (rank.reshape(-1).astype(np.float64)
+                / (n * n)).astype(np.float32)
+    return jnp.asarray(_BN_MASK)
 
 
 def _bitrev32(x):
