@@ -109,7 +109,11 @@ def build_scene_mix(rng, holdout_only=False):
     return out
 
 
+_PAIR_JITS = {}
+
+
 def render_pair(scene, cam, cfg_kwargs, res, spp_noisy, spp_target):
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from truetrace_tpu.integrate.pathtrace import (
@@ -119,12 +123,22 @@ def render_pair(scene, cam, cfg_kwargs, res, spp_noisy, spp_target):
                        **cfg_kwargs)
     pixel = jnp.arange(H * W, dtype=jnp.uint32)
 
+    # ONE jitted sample fn per (cfg, res) with scene/cam as ARGUMENTS:
+    # scene variants share the compile, and the whole bounce loop is a
+    # single device dispatch (eager per-op dispatch on the remote axon
+    # backend made one 96^2 pair take ~26 min — round-4 lesson)
+    key = (cfg, res)
+    if key not in _PAIR_JITS:
+        _PAIR_JITS[key] = jax.jit(
+            lambda scn, cm, s: render_sample_with_stats(scn, cm, cfg,
+                                                        pixel, s))
+    f = _PAIR_JITS[key]
+
     def render_avg(spp, base):
         acc = jnp.zeros((H * W, 3))
         st = None
         for s in range(spp):
-            rad, st = render_sample_with_stats(scene, cam, cfg, pixel,
-                                               base + s)
+            rad, st = f(scene, cam, jnp.uint32(base + s))
             acc = acc + rad
         return acc / spp, st
 
