@@ -257,7 +257,7 @@ def main():
     wi6 = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     lq6 = np.array([[-1, 3.9, 0.2], [1, 3.9, 0.2], [1, 3.9, 2.0],
                     [-1, 3.9, 2.0]], np.float32)
-    li6 = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    li6 = np.array([[0, 1, 2], [0, 2, 3]], np.int32)   # emits downward
 
     def box6(lo, hi, m):
         lo = np.asarray(lo, np.float32)
