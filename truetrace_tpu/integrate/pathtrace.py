@@ -815,46 +815,61 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         # hit.t (Materials.cginc:350 CalculateExtinction; scatter_dist
         # <= 0 treated as 1). Non-watertight transmissive meshes should
         # author thin=1 (sheets) — thin surfaces never push media.
-        in_medium = m_sp > 0
-        cur_med = jnp.take_along_axis(
-            m_ids, jnp.clip(m_sp - 1, 0, MED_STACK - 1)[:, None],
-            axis=1)[:, 0]
-        med = gather_material(scene.materials, jnp.maximum(cur_med, 0))
-        m_authored = jnp.all(med.transmit_color >= 0.0, axis=-1,
-                             keepdims=True)
-        # apparent interior color: the authored TransmittanceColor when
-        # present (reference keys CalculateExtinction on it,
-        # CommonVars.cs:109), else derived from the surface tint
-        app = jnp.where(m_authored,
-                        jnp.clip(1.0 - med.transmit_color, 0.0, 1.0),
-                        jnp.clip(1.0 - med.base_color, 0.0, 1.0))
-        s_ext = 1.9 - app + 3.5 * (app - 0.8) ** 2
-        sd = jnp.where(med.scatter_dist <= 0.0, 1.0, med.scatter_dist)
-        # deviation from the reference formula at app == 0 exactly: a
-        # perfectly white glass is treated as clear (sigma = 0) so the
-        # white furnace stays neutral; the reference would absorb at
-        # 1/(4.14 * dist) even for white glass
-        att = jnp.where(app <= 0.0, 1.0,
-                        jnp.exp(-hit.t[..., None] / (s_ext * sd[..., None])))
-        apply_att = in_medium & hit_ok
-        throughput = jnp.where(apply_att[..., None], throughput * att,
-                               throughput)
-        # relative eta fed to the BSDF = n_dest / n_src (air boundaries
-        # reproduce the classic ior on entry, 1/ior on exit): entering a
-        # surface from medium c -> n_surface/n_c; exiting it -> the
-        # second-innermost medium (or air) over n_surface
-        transmissive = hit_ok & (mat.spec_trans > 0.0) & (mat.thin < 0.5)
-        n_cur = jnp.where(in_medium, med.ior, 1.0)
-        below_id = jnp.take_along_axis(
-            m_ids, jnp.clip(m_sp - 2, 0, MED_STACK - 1)[:, None],
-            axis=1)[:, 0]
-        n_below = jnp.where(
-            m_sp > 1,
-            scene.materials.ior[jnp.maximum(below_id, 0)], 1.0)
-        ior_eff = jnp.where(front,
-                            mat.ior / jnp.maximum(n_cur, 1e-6),
-                            n_below / jnp.maximum(mat.ior, 1e-6))
-        mat = mat.replace(ior=jnp.where(transmissive, ior_eff, mat.ior))
+        # compiled OUT entirely for media-free scenes (Scene.has_media
+        # static flag — the block measured ~20 ms/bounce at 512^2)
+        if scene.has_media:
+            in_medium = m_sp > 0
+            cur_med = jnp.take_along_axis(
+                m_ids, jnp.clip(m_sp - 1, 0, MED_STACK - 1)[:, None],
+                axis=1)[:, 0]
+            # gather ONLY the 4 needed material columns (the full-row
+            # gather_material here cost a second material fetch per
+            # bounce)
+            safe_med = jnp.maximum(cur_med, 0)
+            med_tc = scene.materials.transmit_color[safe_med]
+            med_bc = scene.materials.base_color[safe_med]
+            med_sd = scene.materials.scatter_dist[safe_med]
+            med_ior = scene.materials.ior[safe_med]
+            m_authored = jnp.all(med_tc >= 0.0, axis=-1, keepdims=True)
+            # apparent interior color: the authored TransmittanceColor
+            # when present (reference keys CalculateExtinction on it,
+            # CommonVars.cs:109), else derived from the surface tint
+            app = jnp.where(m_authored,
+                            jnp.clip(1.0 - med_tc, 0.0, 1.0),
+                            jnp.clip(1.0 - med_bc, 0.0, 1.0))
+            s_ext = 1.9 - app + 3.5 * (app - 0.8) ** 2
+            sd = jnp.where(med_sd <= 0.0, 1.0, med_sd)
+            # deviation from the reference formula at app == 0 exactly: a
+            # perfectly white glass is treated as clear (sigma = 0) so
+            # the white furnace stays neutral; the reference would absorb
+            # at 1/(4.14 * dist) even for white glass
+            att = jnp.where(
+                app <= 0.0, 1.0,
+                jnp.exp(-hit.t[..., None] / (s_ext * sd[..., None])))
+            apply_att = in_medium & hit_ok
+            throughput = jnp.where(apply_att[..., None], throughput * att,
+                                   throughput)
+            # relative eta fed to the BSDF = n_dest / n_src (air
+            # boundaries reproduce the classic ior on entry, 1/ior on
+            # exit): entering a surface from medium c -> n_surface/n_c;
+            # exiting it -> the second-innermost medium (or air) over
+            # n_surface
+            transmissive = hit_ok & (mat.spec_trans > 0.0) \
+                & (mat.thin < 0.5)
+            n_cur = jnp.where(in_medium, med_ior, 1.0)
+            below_id = jnp.take_along_axis(
+                m_ids, jnp.clip(m_sp - 2, 0, MED_STACK - 1)[:, None],
+                axis=1)[:, 0]
+            n_below = jnp.where(
+                m_sp > 1,
+                scene.materials.ior[jnp.maximum(below_id, 0)], 1.0)
+            ior_eff = jnp.where(front,
+                                mat.ior / jnp.maximum(n_cur, 1e-6),
+                                n_below / jnp.maximum(mat.ior, 1e-6))
+            mat = mat.replace(ior=jnp.where(transmissive, ior_eff,
+                                            mat.ior))
+        else:
+            transmissive = jnp.zeros((R,), bool)
 
         # ---- cutout alpha: stochastically pass straight through partial
         # surfaces (reference alpha-mapped any/closest-hit skips,
@@ -1105,26 +1120,28 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
         # its id) or leaves (back face: remove the TOPMOST entry matching
         # the id — id-matched removal tolerates interleaved boundaries
         # and makes stray backfaces of never-entered open meshes no-ops)
-        crossed = (alive & ~passthru & transmissive
-                   & (dot(wi, gn) < 0.0))
-        push_evt = crossed & front
-        pop_evt = crossed & ~front
-        slots = jnp.arange(MED_STACK, dtype=jnp.int32)[None, :]
-        top = jnp.clip(m_sp, 0, MED_STACK - 1)[:, None]
-        m_ids = jnp.where(push_evt[:, None] & (slots == top),
-                          mid[:, None], m_ids)
-        match = (m_ids == mid[:, None]) & (slots < m_sp[:, None])
-        has_match = jnp.any(match, axis=1)
-        top_match = (MED_STACK - 1
-                     - jnp.argmax(match[:, ::-1].astype(jnp.int32),
-                                  axis=1))
-        do_pop = pop_evt & has_match
-        shifted = jnp.concatenate(
-            [m_ids[:, 1:], jnp.full((R, 1), -1, jnp.int32)], axis=1)
-        m_ids = jnp.where(do_pop[:, None] & (slots >= top_match[:, None]),
-                          shifted, m_ids)
-        m_sp = jnp.clip(m_sp + push_evt.astype(jnp.int32)
-                        - do_pop.astype(jnp.int32), 0, MED_STACK)
+        if scene.has_media:
+            crossed = (alive & ~passthru & transmissive
+                       & (dot(wi, gn) < 0.0))
+            push_evt = crossed & front
+            pop_evt = crossed & ~front
+            slots = jnp.arange(MED_STACK, dtype=jnp.int32)[None, :]
+            top = jnp.clip(m_sp, 0, MED_STACK - 1)[:, None]
+            m_ids = jnp.where(push_evt[:, None] & (slots == top),
+                              mid[:, None], m_ids)
+            match = (m_ids == mid[:, None]) & (slots < m_sp[:, None])
+            has_match = jnp.any(match, axis=1)
+            top_match = (MED_STACK - 1
+                         - jnp.argmax(match[:, ::-1].astype(jnp.int32),
+                                      axis=1))
+            do_pop = pop_evt & has_match
+            shifted = jnp.concatenate(
+                [m_ids[:, 1:], jnp.full((R, 1), -1, jnp.int32)], axis=1)
+            m_ids = jnp.where(
+                do_pop[:, None] & (slots >= top_match[:, None]),
+                shifted, m_ids)
+            m_sp = jnp.clip(m_sp + push_evt.astype(jnp.int32)
+                            - do_pop.astype(jnp.int32), 0, MED_STACK)
         if cfg.restir_capture:
             # snapshot direct radiance + first-bounce throughput factor
             r_direct = jnp.where(first, radiance, r_direct)

@@ -441,7 +441,9 @@ def compile_scene_instanced(sources: Sequence[HostMesh], mats,
         **lcut,
     )
     from truetrace_tpu.scene.mesh import shadow_tint_table
-    scene = scene.replace(tri_shadow=shadow_tint_table(mats, tri["mat"]))
+    scene = scene.replace(
+        tri_shadow=shadow_tint_table(mats, tri["mat"]),
+        has_media=any(m.spec_trans > 0.0 and m.thin < 0.5 for m in mats))
     return scene, isc
 
 

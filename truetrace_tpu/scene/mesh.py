@@ -455,5 +455,6 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         lbvh_pair_children=lbvh_pair_children, terrain=terrain,
         tri_shadow=shadow_tint_table(mats, tris["mat"]),
         cw_stack=cw_stack,
+        has_media=any(m.spec_trans > 0.0 and m.thin < 0.5 for m in mats),
         **lcut,
     )
