@@ -144,6 +144,20 @@ def main():
         out["detail"]["atrium_mrays"] = round(atrium_mrays, 3)
         out["detail"]["atrium_tris"] = int(atrium_tris)
 
+    # BENCH_BIG=1: the 5.2M-tri HBM-resident regime (incoherent bounce
+    # rays — the fat-leaf headline scene; slower: ~1 min + build, cached
+    # by TRUETRACE_BUILD_CACHE)
+    big_mrays = None
+    if os.environ.get("BENCH_BIG") == "1":
+        from truetrace_tpu.scene import atrium as _at
+        meshes, mats, cam, env = _at.make(detail=5.0)
+        sc = compile_scene(meshes, mats, env=env, with_cwbvh=True,
+                           leaf_k=leaf_k)
+        big_mrays, _, _ = measure(sc, cam, R, max(iters // 2, 2))
+        out["detail"]["big_mrays"] = round(big_mrays, 3)
+        out["detail"]["big_tris"] = int(sc.n_tris())
+        del sc
+
     # perf CI: append every run to bench_history.jsonl keyed by commit
     # (scripts/bench_gate.py fails when the headline regresses >10% vs
     # the last recorded run — VERDICT r3 item 7). Opt out: BENCH_NO_LOG=1.
@@ -162,6 +176,8 @@ def main():
                "rays": R, "headline_mrays": out["value"],
                "atrium_mrays": (round(atrium_mrays, 3)
                                 if atrium_mrays is not None else None),
+               "big_mrays": (round(big_mrays, 3)
+                             if big_mrays is not None else None),
                "scene_tris": int(n_tris),
                "device": str(jax.devices()[0])}
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
