@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, n1: int = 1, n2: int = 3):
+def timed(fn, *args, n1: int = 3, n2: int = 9):
     """Marginal-slope timing: run n1 then n2 iterations with hard syncs and
     report (t(n2)-t(n1))/(n2-n1) — cancels the axon per-call dispatch
     overhead (~30-60 ms) and the first-run program upload that inflate

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, n1: int = 1, n2: int = 3):
+def timed(fn, *args, n1: int = 3, n2: int = 9):
     """Marginal-slope timing (see scripts/profile_frame.py)."""
     def sync(r):
         np.asarray(jax.tree_util.tree_leaves(r)[0])
