@@ -176,6 +176,23 @@ def _sobol_pair(s):
     return x, y
 
 
+def _lk_permute(x, seed):
+    """Laine–Karras hash permutation (Burley 2020, "Practical Hash-based
+    Owen Scrambling"): in the bit-reversed domain this acts as a random
+    per-bit-prefix permutation — i.e. a base-2 Owen scramble."""
+    x = x + seed
+    x = x ^ (x * _U32(0x6C50B47C))
+    x = x ^ (x * _U32(0xB82F1E52))
+    x = x ^ (x * _U32(0xC7AFE638))
+    x = x ^ (x * _U32(0x8D22F6E6))
+    return x
+
+
+def _owen_scramble(x, seed):
+    """Base-2 Owen (nested uniform) scramble of an MSB-aligned u32 sample."""
+    return _bitrev32(_lk_permute(_bitrev32(x), seed))
+
+
 def _bn_shift(pixel_id, dim_id, width):
     """Per-pixel, per-dim blue-noise shift in [0,1): the mask sampled at
     the pixel's screen cell, toroidally offset per dimension."""
@@ -192,23 +209,46 @@ def _bn_shift(pixel_id, dim_id, width):
 
 
 def bn_uniform1(pixel_id, sample_id, dim_id, width):
-    """Blue-noise-dithered LD scalar: Owen-ish scrambled van der Corput in
-    the sample index, Cranley-Patterson rotated per pixel by the mask."""
+    """Blue-noise-dithered LD scalar: per-dim index-shuffled + Owen-
+    scrambled van der Corput, Cranley–Patterson rotated per pixel by the
+    mask.
+
+    Padding dimensions from one shared sequence needs REAL per-dimension
+    randomization: a per-dim Owen shuffle of the sample index plus an
+    Owen scramble of the output (Burley 2020). A plain XOR scramble is a
+    digital shift — it leaves any two dimensions' joint distribution
+    degenerate (ADVICE r4: RR/lobe/MIS draws were deterministically
+    coupled, 64/1024 occupied joint cells). Owen scrambling preserves the
+    1-D (0,m,1)-net stratification while making cross-dim joints behave
+    like independent padding."""
     dim_id = jnp.asarray(dim_id).astype(_U32)
-    sx, _ = _sobol_pair(sample_id)
-    scr, _, _ = pcg3d(dim_id, _U32(0xA511E9B3), _U32(3))
-    base = _u32_to_unit_float(sx ^ scr)
-    u = base + _bn_shift(pixel_id, dim_id, width)
+    u = bn_sequence1(sample_id, dim_id) + _bn_shift(pixel_id, dim_id, width)
     return u - jnp.floor(u)
 
 
-def bn_uniform2(pixel_id, sample_id, dim_id, width):
-    """Blue-noise-dithered LD pair ((0,2)-sequence in the sample index)."""
+def bn_sequence1(sample_id, dim_id):
+    """The pre-rotation per-dim scalar LD sequence (exactly stratified;
+    bn_uniform1 adds the per-pixel blue-noise Cranley–Patterson shift,
+    which preserves stratification only up to bin-boundary wrap)."""
     dim_id = jnp.asarray(dim_id).astype(_U32)
-    sx, sy = _sobol_pair(sample_id)
-    scx, scy, _ = pcg3d(dim_id, _U32(0xA511E9B3), _U32(5))
-    bx = _u32_to_unit_float(sx ^ scx)
-    by = _u32_to_unit_float(sy ^ scy)
+    h1, h2, _ = pcg3d(dim_id, _U32(0xA511E9B3), _U32(3))
+    s = _owen_scramble(jnp.asarray(sample_id).astype(_U32), h1)
+    sx, _ = _sobol_pair(s)
+    return _u32_to_unit_float(_owen_scramble(sx, h2))
+
+
+def bn_uniform2(pixel_id, sample_id, dim_id, width):
+    """Blue-noise-dithered LD pair: (0,2)-sequence in a per-dim Owen-
+    shuffled sample index, each component Owen-scrambled (see
+    bn_uniform1). The two components share ONE shuffled index so the
+    (0,2) pair property is preserved; different dim_ids get independent
+    shuffles/scrambles so joints across dims are decorrelated."""
+    dim_id = jnp.asarray(dim_id).astype(_U32)
+    h1, scx, scy = pcg3d(dim_id, _U32(0xA511E9B3), _U32(5))
+    s = _owen_scramble(jnp.asarray(sample_id).astype(_U32), h1)
+    sx, sy = _sobol_pair(s)
+    bx = _u32_to_unit_float(_owen_scramble(sx, scx))
+    by = _u32_to_unit_float(_owen_scramble(sy, scy))
     shx = _bn_shift(pixel_id, dim_id, width)
     shy = _bn_shift(pixel_id, dim_id ^ _U32(0x517CC1B7), width)
     ux = bx + shx

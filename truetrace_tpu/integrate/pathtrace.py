@@ -179,8 +179,9 @@ def sample_light_tris(scene: Scene, p, u_sel, u2, sn=None,
         idx = jnp.clip(jnp.searchsorted(lt.cdf, u_sel), 0, L - 1)
         pmf = lt.pmf[idx]
     if lt.rows is not None:
-        # ONE cache-hot gather from the packed [L,18] light-row table
-        # (p0/e1/e2/gn/area/pmf/emission precomputed at compile) replaces
+        # ONE cache-hot gather from the packed [L,16] light-row table
+        # (p0/e1/e2/gn/area/pmf/mat_id precomputed at compile; emission
+        # gathered live via mat_id from the material table) replaces
         # 6 scattered gathers into the big tri/material tables — measured
         # 50 ms of the 512^2x4 frame (round-4 NEE probe). Transpose the
         # gathered rows ONCE and read [R] columns (CLAUDE.md layout rule).

@@ -175,7 +175,13 @@ def load_gltf(path: str, atlas_builder=None, auto_pair: bool = False,
         # TransmittanceColor + scatterDistance, CommonVars.cs:109,129)
         vol = m.get("extensions", {}).get("KHR_materials_volume", {})
         att_col = vol.get("attenuationColor")
-        att_dist = vol.get("attenuationDistance", 0.0)
+        # spec default for attenuationDistance is +inf (no attenuation),
+        # NOT 0 (the integrator maps scatter_dist<=0 to distance 1) — an
+        # authored attenuationColor without a distance means no Beer-
+        # Lambert absorption, so drop the color entirely (ADVICE r4)
+        att_dist = vol.get("attenuationDistance")
+        if att_dist is None or not np.isfinite(att_dist):
+            att_col, att_dist = None, 0.0
         # KHR_texture_transform on the baseColor texture -> per-material
         # UV transform (reference AlbedoTextureScale/Rotation,
         # CommonVars.cs:123-136); secondary scale from the

@@ -164,11 +164,14 @@ class LightTris:
     cdf: jnp.ndarray          # [L] inclusive normalized CDF over power
     pmf: jnp.ndarray          # [L] selection probability (cdf diff)
     tri_to_light: jnp.ndarray # [T] int32 inverse map, -1 = not emissive
-    # packed per-light sample rows [L,18]: p0(0:3) e1(3:6) e2(6:9)
-    # unit-gn(9:12) area(12) pmf(13) emission(14:17) pad(17). ONE
-    # cache-hot gather replaces the 6 scattered big-table gathers the
-    # NEE sample otherwise pays per lane per bounce — measured 50 ms of
-    # a 512^2x4 frame (round-4 NEE probe). None on legacy pytrees.
+    # packed per-light sample rows [L,16]: p0(0:3) e1(3:6) e2(6:9)
+    # unit-gn(9:12) area(12) pmf(13) mat_id(14, exact float) pad(15).
+    # Emission is NOT baked in — it is gathered live from the material
+    # table via mat_id so edits and gradients stay live
+    # (scene/mesh.py pack_light_rows builds these). ONE cache-hot gather
+    # replaces the 6 scattered big-table gathers the NEE sample otherwise
+    # pays per lane per bounce — measured 50 ms of a 512^2x4 frame
+    # (round-4 NEE probe). None on legacy pytrees.
     rows: Optional[jnp.ndarray] = None
 
 

@@ -46,6 +46,15 @@ def _named(elem, name, default=None):
                 return float(child.get("value"))
             if child.tag in ("string", "boolean"):
                 return child.get("value")
+            if child.tag == "point":
+                # <point name="center" x=.. y=.. z=..> — the authored
+                # form for sphere centers (ADVICE r4: unhandled points
+                # silently placed spheres at the origin)
+                if child.get("value") is not None:
+                    return tuple(float(x) for x in
+                                 child.get("value").replace(",", " ")
+                                 .split())
+                return tuple(float(child.get(a, 0)) for a in "xyz")
     return default
 
 

@@ -54,11 +54,32 @@ def _parse_mtl(path: str, tex_paths: Optional[Dict[str, dict]] = None
                 # MTL has no per-map transform split; reference analogue
                 # AlbedoTextureScale, CommonVars.cs:123)
                 uvt = list(cur.get("uv_scale", (1.0, 1.0, 0.0, 0.0)))
-                for oi, tok in enumerate(t[1:-1], start=1):
-                    if tok == "-s" and len(t) > oi + 2:
-                        uvt[0], uvt[1] = float(t[oi + 1]), float(t[oi + 2])
-                    elif tok == "-o" and len(t) > oi + 2:
-                        uvt[2], uvt[3] = float(t[oi + 1]), float(t[oi + 2])
+                # MTL -s/-o take 1-3 numeric args (u [v [w]]): consume a
+                # variable-length float run, default v=u, ignore w; the
+                # last token (filename) is never consumed (ADVICE r4:
+                # fixed 2-arg parsing crashed on "map_Kd -s 2 brick.png")
+                oi = 1
+                while oi < len(t) - 1:
+                    tok = t[oi]
+                    if tok in ("-s", "-o"):
+                        vals = []
+                        j = oi + 1
+                        while j < len(t) - 1 and len(vals) < 3:
+                            try:
+                                vals.append(float(t[j]))
+                            except ValueError:
+                                break
+                            j += 1
+                        if vals:
+                            u = vals[0]
+                            v = vals[1] if len(vals) > 1 else u
+                            if tok == "-s":
+                                uvt[0], uvt[1] = u, v
+                            else:
+                                uvt[2], uvt[3] = u, v
+                        oi = j
+                    else:
+                        oi += 1
                 if uvt != [1.0, 1.0, 0.0, 0.0]:
                     cur["uv_scale"] = tuple(uvt)
                     cur["uv2_scale"] = (uvt[0], uvt[1])
