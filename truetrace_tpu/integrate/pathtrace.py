@@ -546,7 +546,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
          r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
          c_w0, c_w1, c_prefix, c_tp, c_live,
          n_trace, n_shadow, r_emit0, n_cq, n_ch,
-         s_ro, s_rd, s_tmax, s_contrib, m_ids, m_sp) = state
+         s_ro, s_rd, s_tmax, s_contrib, m_ids, m_sp, g_inst) = state
         n_trace = n_trace + jnp.sum(alive.astype(jnp.float32))
         if fused:
             # ONE mixed dispatch: this bounce's closest-hit rays
@@ -887,6 +887,10 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                              g_albedo)
         g_normal = jnp.where(first & hit_ok[..., None], sn, g_normal)
         g_depth = jnp.where(first & hit_ok, hit.t, g_depth)
+        # primary-hit instance id (tlas path; -1 elsewhere) — feeds
+        # per-OBJECT motion vectors (post/motion.py; the reference's
+        # engine MotionVectors consumed by RayGenKernels.compute:78-82)
+        g_inst = jnp.where(first & hit_ok, inst, g_inst)
         if cfg.restir_capture:
             # second path vertex (the GI sample point); first vertex + mat
             second = (b == 1)
@@ -1155,7 +1159,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 r_direct, r_x2, r_n2, r_tp1, r_pdf1, r_valid, r_x1, r_mat1,
                 c_w0, c_w1, c_prefix, c_tp, c_live,
                 n_trace, n_shadow, r_emit0, n_cq, n_ch,
-                s_ro, s_rd, s_tmax, s_contrib, m_ids, m_sp)
+                s_ro, s_rd, s_tmax, s_contrib, m_ids, m_sp, g_inst)
 
     n_cq = jnp.zeros((), jnp.float32)   # cache queries attempted
     n_ch = jnp.zeros((), jnp.float32)   # cache hits taken
@@ -1166,7 +1170,8 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
              n_trace, n_shadow, r_emit0, n_cq, n_ch,
              s_ro, s_rd, s_tmax, s_contrib,
              jnp.full((R, MED_STACK), -1, jnp.int32),   # medium ids
-             jnp.zeros((R,), jnp.int32))                # medium depth
+             jnp.zeros((R,), jnp.int32),                # medium depth
+             jnp.full((R,), -1, jnp.int32))   # primary-hit instance id
     body = jax.checkpoint(bounce) if cfg.remat else bounce
     state = jax.lax.fori_loop(0, cfg.bounces, body, state)
     radiance = state[2]
@@ -1183,7 +1188,7 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
             direct = radiance   # the b==1 snapshot never ran
     stats = {"n_trace": state[25], "n_shadow": state[26],
              "albedo": state[7], "normal": state[8], "depth": state[9],
-             "emitted0": state[27],
+             "emitted0": state[27], "inst": state[36],
              "cache_hit_rate": state[29] / jnp.maximum(state[28], 1.0)}
     if cfg.restir_capture:
         stats.update({

@@ -80,7 +80,7 @@ def _jacobian(x1_from, x1_to, x2, n2):
 
 def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
                    state: ReSTIRState, sample_id, n_spatial: int = 2,
-                   prev_cam: Camera = None):
+                   prev_cam: Camera = None, motion=None):
     """One ReSTIR GI frame. Returns (image [H,W,3], new_state, aux).
 
     image = direct lighting (path-traced, bounce 0) + reservoir-shaded
@@ -91,12 +91,14 @@ def restir_gi_step(scene: Scene, cam: Camera, cfg: RenderConfig,
     sid = jnp.asarray(sample_id, jnp.uint32)
     _, st = render_sample_with_stats(scene, cam, cfg, pixel, sid)
     return restir_gi_from_stats(scene, cam, cfg, state, sid, st,
-                                n_spatial=n_spatial, prev_cam=prev_cam)
+                                n_spatial=n_spatial, prev_cam=prev_cam,
+                                motion=motion)
 
 
 def restir_gi_from_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
                          state: ReSTIRState, sample_id, st,
-                         n_spatial: int = 2, prev_cam: Camera = None):
+                         n_spatial: int = 2, prev_cam: Camera = None,
+                         motion=None):
     """Reservoir update + final shade from an already-traced frame's
     capture dict `st` (render_sample_with_stats with restir_capture=True).
     Lets a composed frame (renderer.step) share ONE wavefront trace
@@ -139,9 +141,15 @@ def restir_gi_from_stats(scene: Scene, cam: Camera, cfg: RenderConfig,
     # the reference's per-pixel motion reprojection, ReSTIRGI.compute:
     # 120-160; static camera = identity)
     prev = state
-    if prev_cam is not None:
-        from truetrace_tpu.post.motion import motion_vectors
-        mv = motion_vectors(prev_cam, cam, depth)
+    if prev_cam is not None or motion is not None:
+        # motion: externally supplied per-pixel vectors (renderer.step
+        # passes per-OBJECT motion for instanced scenes); fallback =
+        # camera-only analytic vectors
+        if motion is None:
+            from truetrace_tpu.post.motion import motion_vectors
+            mv = motion_vectors(prev_cam, cam, depth)
+        else:
+            mv = motion
         ys = jnp.clip((jnp.arange(H)[:, None] - mv[..., 1]).astype(jnp.int32),
                       0, H - 1)
         xs = jnp.clip((jnp.arange(W)[None, :] - mv[..., 0]).astype(jnp.int32),

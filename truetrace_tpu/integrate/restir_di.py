@@ -70,7 +70,7 @@ def restir_di_reservoirs(scene: Scene, cam: Camera, cfg: RenderConfig,
                          state: ReSTIRDIState, sample_id,
                          x1, n1, depth,
                          n_candidates: int = 8, n_spatial: int = 1,
-                         prev_cam: Optional[Camera] = None):
+                         prev_cam: Optional[Camera] = None, motion=None):
     """RIS + temporal + spatial reservoir reuse over light samples.
 
     x1/n1/depth: this frame's primary G-buffer images [H,W(,3)]. Returns
@@ -131,9 +131,12 @@ def restir_di_reservoirs(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     # ---- temporal reuse (motion-reprojected)
     prev = state
-    if prev_cam is not None:
-        from truetrace_tpu.post.motion import motion_vectors
-        mv = motion_vectors(prev_cam, cam, depth)
+    if prev_cam is not None or motion is not None:
+        if motion is None:
+            from truetrace_tpu.post.motion import motion_vectors
+            mv = motion_vectors(prev_cam, cam, depth)
+        else:
+            mv = motion
         ys = jnp.clip((jnp.arange(H)[:, None] - mv[..., 1]).astype(jnp.int32),
                       0, H - 1)
         xs = jnp.clip((jnp.arange(W)[None, :] - mv[..., 0]).astype(jnp.int32),

@@ -48,6 +48,50 @@ def project(cam: Camera, p: jnp.ndarray, width: int, height: int):
     return px, py, cz < 0
 
 
+def object_motion_transforms(l2w_prev: jnp.ndarray, l2w_cur: jnp.ndarray):
+    """Per-instance [I,3,4] motion transform M_i mapping a CURRENT-frame
+    world point on instance i to its PREVIOUS-frame world position:
+    M_i = l2w_prev_i ∘ inv(l2w_cur_i). Rows are the _mat34 layout
+    (scene/instances.py): p_world = A @ p_local + t with A = rows[:, :3],
+    t = rows[:, 3]."""
+    A_cur = l2w_cur[:, :, :3]                     # [I,3,3]
+    t_cur = l2w_cur[:, :, 3]
+    A_prev = l2w_prev[:, :, :3]
+    t_prev = l2w_prev[:, :, 3]
+    A_cur_inv = jnp.linalg.inv(A_cur)
+    A = jnp.einsum("iab,ibc->iac", A_prev, A_cur_inv)
+    t = t_prev - jnp.einsum("iab,ib->ia", A, t_cur)
+    return jnp.concatenate([A, t[..., None]], axis=-1)
+
+
+def motion_vectors_objects(prev_cam: Camera, cam: Camera,
+                           depth: jnp.ndarray, inst: jnp.ndarray,
+                           l2w_prev: jnp.ndarray, l2w_cur: jnp.ndarray):
+    """Per-pixel motion [H,W,2] including per-OBJECT motion: pixels whose
+    primary hit lies on instance i (inst >= 0, the integrator's g_inst)
+    are carried back through instance i's previous transform before
+    projecting into the previous camera — the counterpart of the
+    reference's engine motion vectors, which encode object motion
+    (RayGenKernels.compute:78-82 reprojects through MotionVectors;
+    RayTracingShader.compute:229). Camera-only vectors ghost animated
+    instances under TAA/TAAU/SVGF/ReSTIR temporal reuse."""
+    H, W = depth.shape
+    p = world_from_depth(cam, depth)
+    M = object_motion_transforms(l2w_prev, l2w_cur)     # [I,3,4]
+    mi = M[jnp.clip(inst, 0, M.shape[0] - 1)]           # [H,W,3,4]
+    p_obj = (jnp.einsum("hwab,hwb->hwa", mi[..., :3], p) + mi[..., 3])
+    p = jnp.where((inst >= 0)[..., None], p_obj, p)
+    px, py, ok = project(prev_cam, p, W, H)
+    cur_x = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
+    cur_y = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
+    dx = cur_x - 0.5 - px
+    dy = cur_y - 0.5 - py
+    big = jnp.float32(1e4)
+    dx = jnp.where(ok & (depth > 0), dx, big)
+    dy = jnp.where(ok & (depth > 0), dy, big)
+    return jnp.stack([dx, dy], axis=-1)
+
+
 def motion_vectors(prev_cam: Camera, cam: Camera, depth: jnp.ndarray):
     """Per-pixel motion [H,W,2] = (dx, dy) such that history lives at
     (x - dx, y - dy) — the convention post/svgf.py & friends consume.

@@ -103,6 +103,11 @@ class FrameState(NamedTuple):
     # temporal auto-exposure state (post/pipeline.py
     # auto_exposure_temporal); -1 = cold start
     exposure: Optional[jnp.ndarray] = None
+    # last frame's per-instance l2w rows [I,3,4] — with the primary-hit
+    # instance G-buffer these give per-OBJECT motion vectors
+    # (post/motion.py motion_vectors_objects; reference engine
+    # MotionVectors, RayGenKernels.compute:78-82)
+    prev_inst_l2w: Optional[jnp.ndarray] = None
 
 
 class Renderer:
@@ -131,7 +136,8 @@ class Renderer:
         R = ih * iw
         p = dict(rad=jnp.zeros((R, 3)), albedo=jnp.ones((R, 3)),
                  normal=jnp.zeros((R, 3)), depth=jnp.zeros((R,)),
-                 emitted0=jnp.zeros((R, 3)))
+                 emitted0=jnp.zeros((R, 3)),
+                 inst=jnp.full((R,), -1, jnp.int32))
         if self.cfg.use_restir:
             p.update(direct=jnp.zeros((R, 3)), x1=jnp.zeros((R, 3)),
                      mat1=jnp.zeros((R,), jnp.int32))
@@ -186,6 +192,23 @@ class Renderer:
         reference's RunUpdate policy (RayTracingMaster.cs:375-392)."""
         cfg = self.cfg
         rcfg = self.rcfg
+
+        def _motion(depth_img, inst_flat=None):
+            """Per-pixel motion vectors: per-OBJECT when the scene is
+            instanced and last frame's transforms are known, else
+            camera-only (post/motion.py)."""
+            if state.prev_cam is None:
+                return None
+            from truetrace_tpu.post.motion import (motion_vectors,
+                                                   motion_vectors_objects)
+            if (inst_flat is not None and state.prev_inst_l2w is not None
+                    and self.scene.inst_l2w is not None):
+                return motion_vectors_objects(
+                    state.prev_cam, self.cam, depth_img,
+                    inst_flat.reshape(depth_img.shape),
+                    state.prev_inst_l2w, self.scene.inst_l2w)
+            return motion_vectors(state.prev_cam, self.cam, depth_img)
+
         if scene is not None:
             self.scene = scene
             state = state._replace(accum=state.accum.reset())
@@ -222,9 +245,7 @@ class Renderer:
         if k > 1 and cam_moved and state.prev_cam is not None:
             # motion-reproject the persistent compose buffers so stale
             # pixels track the new view (fresh subset overwrites after)
-            from truetrace_tpu.post.motion import motion_vectors
-            mv = motion_vectors(state.prev_cam, self.cam,
-                                P["depth"].reshape(h, w))
+            mv = _motion(P["depth"].reshape(h, w), P["inst"])
             ys = jnp.clip((jnp.arange(h)[:, None] - mv[..., 1])
                           .astype(jnp.int32), 0, h - 1)
             xs = jnp.clip((jnp.arange(w)[None, :] - mv[..., 0])
@@ -259,10 +280,13 @@ class Renderer:
                 g_x1, g_n, g_d = P["di_x1"], P["di_n"], P["di_d"]
             else:
                 g_x1, g_n, g_d = gst["x1"], gst["normal"], gst["depth"]
+            di_motion = (_motion(g_d.reshape(h, w), gst["inst"])
+                         if k == 1 else None)
             di_sample, di_state = restir_di_reservoirs(
                 self.scene, self.cam, rcfg, state.restir_di, sid,
                 g_x1.reshape(h, w, 3), g_n.reshape(h, w, 3),
-                g_d.reshape(h, w), prev_cam=state.prev_cam)
+                g_d.reshape(h, w), prev_cam=state.prev_cam,
+                motion=di_motion)
             new["restir_di"] = di_state
             if k > 1:
                 # the main trace only shades the fresh subset
@@ -296,11 +320,13 @@ class Renderer:
             for key, src in (("rad", rad), ("albedo", st["albedo"]),
                              ("normal", st["normal"]),
                              ("depth", st["depth"]),
-                             ("emitted0", st["emitted0"])):
+                             ("emitted0", st["emitted0"]),
+                             ("inst", st["inst"])):
                 P[key] = P[key].at[pixel].set(src)
             rad = P["rad"]
             comp = dict(st, albedo=P["albedo"], normal=P["normal"],
-                        depth=P["depth"], emitted0=P["emitted0"])
+                        depth=P["depth"], emitted0=P["emitted0"],
+                        inst=P["inst"])
             if cfg.use_restir:
                 # persistent channels (final shade reads every pixel);
                 # candidate channels scatter into ZEROS — stale pixels
@@ -330,6 +356,7 @@ class Renderer:
         depth = st["depth"].reshape(h, w)
         emissive = st["emitted0"].reshape(h, w, 3)
         gradient = None
+        motion = _motion(depth, st.get("inst"))
 
         # ---- ReSTIR GI: reservoir-shaded indirect replaces the traced
         # indirect; its temporal-validation gradients feed ASVGF below
@@ -337,14 +364,9 @@ class Renderer:
             from truetrace_tpu.integrate.restir import restir_gi_from_stats
             frame, restir, aux = restir_gi_from_stats(
                 self.scene, self.cam, rcfg, state.restir, sid, st,
-                prev_cam=state.prev_cam)
+                prev_cam=state.prev_cam, motion=motion)
             new["restir"] = restir
             gradient = aux["gradient"]
-
-        motion = None
-        if state.prev_cam is not None:
-            from truetrace_tpu.post.motion import motion_vectors
-            motion = motion_vectors(state.prev_cam, self.cam, depth)
 
         # ---- denoise
         if cfg.denoiser == "svgf":
@@ -424,5 +446,5 @@ class Renderer:
                                             motion=motion)
         new_state = state._replace(
             accum=accum, sample=sid + 1, taa_history=taa_hist,
-            prev_cam=self.cam, **new)
+            prev_cam=self.cam, prev_inst_l2w=self.scene.inst_l2w, **new)
         return display, accum.image, new_state

@@ -118,10 +118,11 @@ def build_source(mesh: HostMesh, leaf_k: int = 3) -> SourceBuild:
 
 
 def _auto_leaf_k(sources: Sequence[HostMesh]) -> int:
-    """Same data-driven rule as compile_scene(leaf_k=None): fat k=12
-    rows at every scale (measured fastest from 27k to 5.2M tris —
-    BASELINE.md round-3/4 fat-leaf tables)."""
-    return 12
+    """Same data-driven rule as compile_scene(leaf_k=None): k=6 —
+    the round-5 interleaved frame A/B winner (k12 wins the closest-hit
+    microbench but loses the NEE shadow any-hit by 2x; BASELINE.md
+    round-5 leaf_k table)."""
+    return 6
 
 
 def build_instanced(sources: Sequence[HostMesh],

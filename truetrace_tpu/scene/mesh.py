@@ -267,8 +267,14 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     flat W>=60 HBM gather mode and roughly halves leaf iterations on
     scenes whose table exceeds the ~30 MB on-chip cache — use for
     multi-million-triangle scenes (BASELINE.md round-3 width map).
-    None = auto: 12 at every scale (measured fastest from 27k to 5.2M
-    tris — BASELINE.md round-3/4 fat-leaf tables)."""
+    None = auto: 6 — the FRAME winner. The round-5 same-session
+    interleaved A/B (scripts/tune_leafk_ab.py; paired CI ±2-7 ms)
+    settled the round-4 bench-vs-frame contradiction: on the honest
+    512^2x4 Disney+treeNEE frame k6 = 517 ms vs k3 609 / k12 674. The
+    noNEE slices tie (285 vs 288) — k12's entire loss is the NEE
+    shadow any-hit, where early-out rays pay the doubled Moller block
+    per 120-word row. The mixed-ray bench preferred k12 (+6%) but the
+    frame is the product (BASELINE.md round-5)."""
     tris = flatten_meshes(meshes)
     if presplit > 0.0:
         from truetrace_tpu.build.presplit import presplit_triangles
@@ -276,10 +282,10 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     tri_box = aabb_ops.from_tris(
         tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
     if leaf_k is None:
-        # k12 measured fastest at EVERY scale swept: 27.6k tris (4.90 vs
-        # 4.79 Mrays/s k3), 120k (4.80 vs 4.76), 293k (4.52 vs 3.92) and
-        # 5.2M (2.12 vs 0.75) — BASELINE.md round-3/4 fat-leaf tables
-        leaf_k = 12
+        # frame-measured winner (see docstring): k6 beats k12 by 157 ms
+        # on the 512^2x4 frame because any-hit shadow rays hate fat
+        # rows; closest-hit-only workloads may still prefer k12
+        leaf_k = 6
 
     # on-disk build cache (reference "Build Aggregated BVH" persistence,
     # README.md:131; scene/build_cache.py): reuse BVH2 + CWBVH + light-BVH
