@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import pytest
 
 from truetrace_tpu.integrate.pathtrace import (
-    RenderConfig, render_sample_with_stats)
+    RenderConfig, render, render_sample_with_stats)
 from truetrace_tpu.scene import atrium
 from truetrace_tpu.scene.mesh import compile_scene
 
@@ -49,3 +49,20 @@ def test_fused_restir_captures_match(scene_cam):
     for k in ("direct", "indirect", "x2", "tp1"):
         np.testing.assert_allclose(np.asarray(sf[k]), np.asarray(su[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_nee_sort_bitwise_identical():
+    """nee_sort permutes the shadow dispatch by light distance and
+    inverse-permutes the result — same visibility queries, same per-lane
+    addition order, so the image must be BITWISE identical."""
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene as _cs
+
+    meshes, mats, cam = cornell.make()
+    scene = _cs(meshes, mats, with_cwbvh=True, with_light_bvh=True)
+    base = RenderConfig(width=24, height=24, bounces=3, bsdf="disney",
+                        traversal="wavefront", light_sampling="tree")
+    img0 = np.asarray(render(scene, cam, base, spp=2))
+    img1 = np.asarray(render(scene, cam, base.replace(nee_sort=True),
+                             spp=2))
+    np.testing.assert_array_equal(img0, img1)

@@ -26,17 +26,30 @@ class AnalyticSample(NamedTuple):
     valid: jnp.ndarray     # [R] bool
 
 
+def _empty_sample(R):
+    z = jnp.zeros((R,), jnp.float32)
+    return AnalyticSample(wi=jnp.zeros((R, 3)), dist=z,
+                          radiance=jnp.zeros((R, 3)),
+                          pdf_sa=z, pmf=z, is_delta=jnp.zeros((R,), bool),
+                          valid=jnp.zeros((R,), bool))
+
+
 def sample_analytic(lights: AnalyticLights, p, u_sel, u2) -> AnalyticSample:
     """Uniformly select one analytic light and sample it from point p."""
     K = lights.position.shape[0]
     R = p.shape[0]
     if K == 0:
-        z = jnp.zeros((R,), jnp.float32)
-        return AnalyticSample(wi=jnp.zeros((R, 3)), dist=z, radiance=jnp.zeros((R, 3)),
-                              pdf_sa=z, pmf=z, is_delta=jnp.zeros((R,), bool),
-                              valid=jnp.zeros((R,), bool))
+        return _empty_sample(R)
     idx = jnp.clip((u_sel * K).astype(jnp.int32), 0, K - 1)
     pmf = jnp.full((R,), 1.0 / K, jnp.float32)
+    return sample_analytic_idx(lights, idx, pmf, p, u2)
+
+
+def sample_analytic_idx(lights: AnalyticLights, idx, pmf, p,
+                        u2) -> AnalyticSample:
+    """Sample the given per-lane light index (pmf = its selection
+    probability, already resolved by the caller: uniform or RIS)."""
+    R = p.shape[0]
     lt = lights.ltype[idx]
     lpos = lights.position[idx]
     ldir = normalize(lights.direction[idx])
@@ -136,3 +149,79 @@ def sample_analytic(lights: AnalyticLights, p, u_sel, u2) -> AnalyticSample:
     return AnalyticSample(wi=wi, dist=dist, radiance=radiance,
                           pdf_sa=jnp.maximum(pdf_sa, 1e-12), pmf=pmf,
                           is_delta=~is_area, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Streaming RIS light selection (reference SelectUnityLight,
+# CommonData.cginc:1806 + the RIS-count setting): at dozens-to-hundreds
+# of analytic lights, uniform selection is noisy — draw N uniform
+# candidates, weight each by a cheap unshadowed-contribution estimate,
+# keep one by reservoir sampling, and return the unbiased RIS weight as
+# an effective pmf.
+# ---------------------------------------------------------------------------
+
+def analytic_target_weight(lights: AnalyticLights, idx, p):
+    """Cheap positive target weight ~ unshadowed contribution of light
+    `idx` seen from `p` (luminance; light sampled at its center). A small
+    positivity floor keeps every emitting light selectable — the target
+    need not match the true contribution for unbiasedness, but it must
+    not be 0 where the contribution can be > 0 (soft-jittered spots,
+    edge-on area lights)."""
+    lt = lights.ltype[idx]
+    lpos = lights.position[idx]
+    ldir = normalize(lights.direction[idx])
+    lum = (0.2126 * lights.radiance[idx, 0]
+           + 0.7152 * lights.radiance[idx, 1]
+           + 0.0722 * lights.radiance[idx, 2])
+    ext = lights.extent[idx]
+    to_l = lpos - p
+    d2 = jnp.maximum(dot(to_l, to_l), 1e-8)
+    wi = to_l / jnp.sqrt(d2)[..., None]
+    w_point = lum / d2
+    cos_spot = -dot(wi, ldir)
+    inner = lights.spot_cos[idx, 0]
+    outer = lights.spot_cos[idx, 1]
+    spot_w = jnp.clip((cos_spot - outer)
+                      / jnp.maximum(inner - outer, 1e-6), 0.0, 1.0)
+    w_spot = w_point * spot_w * spot_w
+    area = jnp.where(lt == LIGHT_DISK,
+                     jnp.pi * ext[:, 0] * ext[:, 0],
+                     4.0 * ext[:, 0] * ext[:, 1])
+    w_area = lum * area * jnp.maximum(-dot(wi, ldir), 0.0) / d2
+    w = jnp.where(lt == LIGHT_DIR, lum,
+        jnp.where(lt == LIGHT_SPOT, w_spot,
+        jnp.where((lt == LIGHT_QUAD) | (lt == LIGHT_DISK), w_area,
+                  w_point)))
+    # positivity floor: any light with power stays selectable
+    return w + 1e-4 * lum / (1.0 + d2)
+
+
+def sample_analytic_ris(lights: AnalyticLights, p, u_cands, u_keep,
+                        u2) -> AnalyticSample:
+    """Streaming RIS over N = u_cands.shape[1] uniform candidates.
+
+    u_cands/u_keep: [R,N] uniforms (candidate pick / reservoir keep).
+    Unbiased: the selected light's effective pmf is 1/W with
+    W = (sum_c w_c) / (N * w_sel), w_c = K * target(c) — the standard
+    RIS estimator, so contribution * W integrates to the sum over
+    lights exactly (test_analytic_ris.py unbiasedness gate)."""
+    K = lights.position.shape[0]
+    R = p.shape[0]
+    if K == 0:
+        return _empty_sample(R)
+    N = u_cands.shape[1]
+    wsum = jnp.zeros((R,), jnp.float32)
+    sel_idx = jnp.zeros((R,), jnp.int32)
+    sel_tw = jnp.zeros((R,), jnp.float32)
+    for c in range(N):
+        idx_c = jnp.clip((u_cands[:, c] * K).astype(jnp.int32), 0, K - 1)
+        tw = analytic_target_weight(lights, idx_c, p)
+        w_c = tw * K                       # target / (1/K) proposal
+        wsum = wsum + w_c
+        take = u_keep[:, c] * jnp.maximum(wsum, 1e-20) < w_c
+        sel_idx = jnp.where(take, idx_c, sel_idx)
+        sel_tw = jnp.where(take, tw, sel_tw)
+    W = wsum / jnp.maximum(N * sel_tw, 1e-20)
+    pmf_eff = 1.0 / jnp.maximum(W, 1e-20)
+    s = sample_analytic_idx(lights, sel_idx, pmf_eff, p, u2)
+    return s._replace(valid=s.valid & (wsum > 0.0))

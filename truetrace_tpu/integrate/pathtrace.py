@@ -94,6 +94,24 @@ class RenderConfig:
     # a lock-step mixed chunk stretch the closest-hit lanes' cascade
     # stages more than a dedicated early-out any-hit dispatch costs.
     fuse_nee: bool = struct.field(pytree_node=False, default=False)
+    # sort each bounce's NEE shadow rays by light distance before the
+    # any-hit dispatch: short rays (and the zero-length dead lanes) pack
+    # into the same 64k cascade chunks and retire whole chunks early,
+    # while lax.map pipelines the long-ray chunk tails. The reference's
+    # shadow rays carry exact t_max the same way
+    # (IntersectionKernels.compute:264-498); sorting is the TPU analogue
+    # of its atomic work-queue compaction for the shadow pass. Permute +
+    # inverse-permute are independent-index gathers (~1 ns/row).
+    nee_sort: bool = struct.field(pytree_node=False, default=False)
+    # RIS candidate count for analytic-light NEE (reference
+    # SelectUnityLight, CommonData.cginc:1806 + its RIS-count setting):
+    # when the scene has MORE analytic lights than this, selection runs
+    # streaming RIS over this many uniform candidates weighted by a
+    # cheap contribution estimate (integrate/lights.py
+    # sample_analytic_ris — unbiased, tested). <= 0 disables (always
+    # uniform). At a handful of lights uniform selection is fine; at
+    # dozens-to-hundreds RIS cuts variance dramatically.
+    analytic_ris: int = struct.field(pytree_node=False, default=8)
 
 
 def _samplers(cfg: "RenderConfig"):
@@ -1025,8 +1043,22 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 valid_l = jnp.where(sel, p_env > 1e-12, valid_l)
                 gi += 1
             if has_analytic:
-                from truetrace_tpu.integrate.lights import sample_analytic
-                al = sample_analytic(scene.lights, p, u_resc, u_l2)
+                from truetrace_tpu.integrate.lights import (
+                    sample_analytic, sample_analytic_ris)
+                K_an = scene.lights.position.shape[0]
+                if 0 < cfg.analytic_ris < K_an:
+                    uc, uk = [], []
+                    for c in range(cfg.analytic_ris):
+                        u2c = smp2(pixel, sid, jnp.uint32(
+                            rng.path_dim(b, rng.DIM_LIGHT_SELECT))
+                            + jnp.uint32(0x9E3779 * (c + 1)))
+                        uc.append(u2c[..., 0])
+                        uk.append(u2c[..., 1])
+                    al = sample_analytic_ris(
+                        scene.lights, p, jnp.stack(uc, -1),
+                        jnp.stack(uk, -1), u_l2)
+                else:
+                    al = sample_analytic(scene.lights, p, u_resc, u_l2)
                 sel = g_pick == gi
                 wi_l = jnp.where(sel[..., None], al.wi, wi_l)
                 dist_l = jnp.where(sel, al.dist, dist_l)
@@ -1071,9 +1103,16 @@ def trace_rays(scene: Scene, ro, rd, cfg: RenderConfig, pixel, sample_id,
                 radiance = radiance + jnp.where(cand[..., None],
                                                 contrib * trans, 0.0)
             else:
-                trans = jax.lax.stop_gradient(_transmission(
-                    scene, sro, wi_l,
-                    jnp.where(cand, dist_l - 2.0 * SHADOW_EPS, 0.0), cfg))
+                s_tm = jnp.where(cand, dist_l - 2.0 * SHADOW_EPS, 0.0)
+                if cfg.nee_sort:
+                    order = jnp.argsort(s_tm)
+                    inv = jnp.argsort(order)
+                    trans = jax.lax.stop_gradient(_transmission(
+                        scene, sro[order], wi_l[order], s_tm[order],
+                        cfg))[inv]
+                else:
+                    trans = jax.lax.stop_gradient(_transmission(
+                        scene, sro, wi_l, s_tm, cfg))
                 radiance = radiance + jnp.where(cand[..., None],
                                                 contrib * trans, 0.0)
 
