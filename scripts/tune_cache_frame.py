@@ -82,8 +82,8 @@ def main():
         for _ in range(n_frames):
             rad, st = frame(st)
         img = np.asarray(rad)
-        out[name] = dict(ms=round(ms, 1), frames=n_frames,
-                         psnr=round(psnr(img, ref), 2))
+        out[name] = dict(ms=round(float(ms), 1), frames=int(n_frames),
+                         psnr=round(float(psnr(img, ref)), 2))
         print(name, out[name], flush=True)
     print(json.dumps(out), flush=True)
     with open(out_path, "w") as f:

@@ -90,7 +90,7 @@ def test_ring_all_reduce_matches_pmean(setup):
     import jax
     from functools import partial
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from truetrace_tpu.dist.sharding import shard_map
     from truetrace_tpu.dist.sharding import TILE_AXIS, ring_all_reduce
 
     mesh = make_mesh(8)

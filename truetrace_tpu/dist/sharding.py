@@ -23,7 +23,18 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                  # jax >= 0.8
+    import inspect as _inspect
+    from jax import shard_map as _sm
+    if "check_rep" not in _inspect.signature(_sm).parameters:
+        def shard_map(f, **kw):       # check_rep was renamed check_vma
+            if "check_rep" in kw:
+                kw["check_vma"] = kw.pop("check_rep")
+            return _sm(f, **kw)
+    else:
+        shard_map = _sm
+except ImportError:                   # older jax
+    from jax.experimental.shard_map import shard_map
 
 from truetrace_tpu.integrate.pathtrace import RenderConfig, render_sample
 from truetrace_tpu.scene.ir import Camera, Scene
