@@ -150,3 +150,41 @@ def test_renderer_taau_upscale_smoke():
     assert disp.shape == (32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
     assert st.taau_history.shape == (32, 32, 3)
+
+
+def test_agx_looks():
+    """AgX punchy/golden looks (reference baked-LUT looks, analytic
+    form): monotone in exposure, in [0,1]; punchy raises saturation vs
+    base, golden warms the hue (R/B ratio up) and mutes saturation."""
+    import numpy as np
+    from truetrace_tpu.post.pipeline import (tonemap_agx,
+                                             tonemap_agx_golden,
+                                             tonemap_agx_punchy)
+    x = jnp.asarray(np.random.RandomState(3).uniform(
+        0.02, 4.0, (64, 3)).astype(np.float32))
+    for f in (tonemap_agx_punchy, tonemap_agx_golden):
+        y = np.asarray(f(x))
+        assert y.min() >= 0.0 and y.max() <= 1.0
+    base = np.asarray(tonemap_agx(x))
+    punchy = np.asarray(tonemap_agx_punchy(x))
+    golden = np.asarray(tonemap_agx_golden(x))
+
+    def sat(img):
+        mu = img.mean(-1, keepdims=True)
+        return np.abs(img - mu).mean()
+    assert sat(punchy) > sat(base) * 1.05, (sat(punchy), sat(base))
+    # golden applies a global warm cast (hue shift) PLUS muted
+    # saturation: white-balance its neutral response out first, then
+    # the residual saturation must sit below punchy's
+    neutral = np.asarray(tonemap_agx_golden(
+        jnp.ones((1, 3), jnp.float32)))[0]
+    golden_wb = golden / np.maximum(neutral, 1e-6)
+    assert sat(golden_wb) < sat(punchy), (sat(golden_wb), sat(punchy))
+    warm = jnp.asarray([[1.0, 1.0, 1.0]])
+    g = np.asarray(tonemap_agx_golden(warm))[0]
+    assert g[0] > g[2] * 1.1, g          # neutral input turns golden
+    # monotone in exposure (no banding/inversion): scaling up input
+    # never darkens any channel
+    y1 = np.asarray(tonemap_agx_punchy(x))
+    y2 = np.asarray(tonemap_agx_punchy(x * 1.5))
+    assert (y2 >= y1 - 1e-5).all()

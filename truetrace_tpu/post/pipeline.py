@@ -73,26 +73,71 @@ def tonemap_aces(x):
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
-def tonemap_agx(x):
-    """AgX base (Benjamin Wrensch's minimal fit): log2 encoding + 6th-order
-    sigmoid polynomial approximation."""
+def _agx_base(x):
+    """AgX inset + log2 encode + sigmoid, WITHOUT the outset — the space
+    the look transforms operate in."""
     m = jnp.asarray([[0.842479, 0.0784336, 0.0792237],
                      [0.0423282, 0.878468, 0.0791661],
                      [0.0423756, 0.0784336, 0.879142]], jnp.float32)
-    mi = jnp.linalg.inv(m)
     v = jnp.einsum("ij,...j->...i", m, jnp.maximum(x, 1e-10))
     lo, hi = -12.47393, 4.026069
     v = (jnp.log2(v) - lo) / (hi - lo)
     v = jnp.clip(v, 0.0, 1.0)
     v2 = v * v
     v4 = v2 * v2
-    s = (15.5 * v4 * v2 - 40.14 * v4 * v + 31.96 * v4 - 6.868 * v2 * v
-         + 0.4298 * v2 + 0.1191 * v - 0.00232)
-    return jnp.clip(jnp.einsum("ij,...j->...i", mi, s), 0.0, 1.0)
+    return (15.5 * v4 * v2 - 40.14 * v4 * v + 31.96 * v4 - 6.868 * v2 * v
+            + 0.4298 * v2 + 0.1191 * v - 0.00232)
+
+
+_AGX_OUT = None
+
+
+def _agx_outset(s):
+    global _AGX_OUT
+    if _AGX_OUT is None:
+        import numpy as _np
+        _AGX_OUT = jnp.asarray(_np.linalg.inv(_np.asarray(
+            [[0.842479, 0.0784336, 0.0792237],
+             [0.0423282, 0.878468, 0.0791661],
+             [0.0423756, 0.0784336, 0.879142]], _np.float64)
+        ).astype(_np.float32))
+    return jnp.clip(jnp.einsum("ij,...j->...i", _AGX_OUT, s), 0.0, 1.0)
+
+
+def tonemap_agx(x):
+    """AgX base (Benjamin Wrensch's minimal fit): log2 encoding + 6th-order
+    sigmoid polynomial approximation."""
+    return _agx_outset(_agx_base(x))
+
+
+def _agx_look(x, slope, power, sat):
+    """AgX look transform (Sobotka/Blender): applied in AgX space between
+    the sigmoid and the outset — the analytic form of the reference's
+    baked 3D look LUTs (ToneMap.compute + ToneMapTex.asset/AgXBC.exr,
+    SURVEY.md section 2.2): v' = (v*slope)^power, then saturate about
+    Rec.709 luma."""
+    v = _agx_base(x)
+    v = jnp.power(jnp.maximum(v * jnp.asarray(slope, jnp.float32), 0.0),
+                  jnp.asarray(power, jnp.float32))
+    luma = (0.2126 * v[..., 0] + 0.7152 * v[..., 1]
+            + 0.0722 * v[..., 2])[..., None]
+    v = luma + sat * (v - luma)
+    return _agx_outset(v)
+
+
+def tonemap_agx_punchy(x):
+    """AgX "punchy" look: deeper contrast + saturation boost."""
+    return _agx_look(x, (1.0, 1.0, 1.0), (1.35, 1.35, 1.35), 1.4)
+
+
+def tonemap_agx_golden(x):
+    """AgX "golden" look: warm slope, lifted mids, muted saturation."""
+    return _agx_look(x, (1.0, 0.9, 0.5), (0.8, 0.8, 0.8), 0.8)
 
 
 _TONEMAPS = {"aces": tonemap_aces, "reinhard": tonemap_reinhard,
-             "agx": tonemap_agx, "none": lambda x: x}
+             "agx": tonemap_agx, "agx_punchy": tonemap_agx_punchy,
+             "agx_golden": tonemap_agx_golden, "none": lambda x: x}
 
 
 # ---------------------------------------------------------------------------
