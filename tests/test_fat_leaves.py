@@ -180,3 +180,29 @@ def test_compile_scene_fat_renders_same():
                                max_stack=s6.cw_stack)
     np.testing.assert_allclose(np.asarray(h3.t), np.asarray(h6.t),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hot_order_bitwise_identical():
+    """compile_scene(hot_order=True) permutes leaf-row groups by heat
+    and rewrites node word 5 — the traced image must be BITWISE
+    identical (rows embed their own tri data + global ids)."""
+    import jax.numpy as jnp
+    from truetrace_tpu.integrate.pathtrace import RenderConfig, render
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    s0 = compile_scene(meshes, mats, with_cwbvh=True)
+    s1 = compile_scene(meshes, mats, with_cwbvh=True, hot_order=True)
+    assert not np.array_equal(np.asarray(s0.cw_leaf_rows),
+                              np.asarray(s1.cw_leaf_rows)) \
+        or s0.cw_leaf_rows.shape[0] <= 1
+    # row multiset preserved
+    assert np.array_equal(
+        np.sort(np.asarray(s0.cw_leaf_rows).view(np.int32), axis=0),
+        np.sort(np.asarray(s1.cw_leaf_rows).view(np.int32), axis=0))
+    cfg = RenderConfig(width=24, height=24, bounces=2, bsdf="lambert",
+                       traversal="wavefront")
+    np.testing.assert_array_equal(
+        np.asarray(render(s0, cam, cfg, spp=2)),
+        np.asarray(render(s1, cam, cfg, spp=2)))

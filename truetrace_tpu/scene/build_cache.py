@@ -34,11 +34,12 @@ def default_cache_dir() -> Optional[str]:
 
 
 def scene_build_key(tris: Dict[str, np.ndarray], mats,
-                    leaf_k: int, with_light_bvh: bool) -> str:
+                    leaf_k: int, with_light_bvh: bool,
+                    hot_order: bool = False) -> str:
     """Content hash of every input the cached build products depend on."""
     h = hashlib.sha256()
     h.update(f"v{BUILD_VERSION};k{leaf_k};lb{int(with_light_bvh)}"
-             .encode())
+             f";h{int(hot_order)}".encode())
     for key in ("p0", "e1", "e2", "mat"):
         a = np.ascontiguousarray(tris[key])
         h.update(key.encode())

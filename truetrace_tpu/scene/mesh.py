@@ -249,7 +249,8 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
                   with_light_bvh: bool = False, terrain=None,
                   presplit: float = 0.0,
                   leaf_k: Optional[int] = None,
-                  cache_dir: Optional[str] = None) -> Scene:
+                  cache_dir: Optional[str] = None,
+                  hot_order: bool = False) -> Scene:
     """Build the full render-ready Scene from host meshes (single BLAS).
 
     cache_dir: directory for the on-disk build cache
@@ -297,7 +298,8 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     cache_key = None
     _new_products = None
     if cache_dir is not None and with_cwbvh:
-        cache_key = _bc.scene_build_key(tris, mats, leaf_k, with_light_bvh)
+        cache_key = _bc.scene_build_key(tris, mats, leaf_k, with_light_bvh,
+                                        hot_order=hot_order)
         cached = _bc.load_build(cache_dir, cache_key)
 
     if cached is not None:
@@ -330,6 +332,13 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
         nodes2, rows = pack_leaf_rows(
             cw.nodes, cw.slot_tri_base, cw.slot_tri_count,
             tris["p0"], tris["e1"], tris["e2"], k=leaf_k)
+        if hot_order:
+            # heat-ordered leaf-row placement for HBM-scale tables
+            # (kernels/cwbvh_wavefront.py reorder_leaf_rows_hot; NOT for
+            # deformable scenes — refit regenerates node-major rows)
+            from truetrace_tpu.kernels.cwbvh_wavefront import (
+                reorder_leaf_rows_hot)
+            nodes2, rows = reorder_leaf_rows_hot(nodes2, rows)
         cw_nodes = jnp.asarray(nodes2)
         cw_tri_index = jnp.asarray(cw.tri_index)
         cw_leaf_rows = jnp.asarray(rows)
