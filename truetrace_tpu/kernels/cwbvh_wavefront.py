@@ -677,8 +677,11 @@ def _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
 
 
 def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
-                      max_stack: int, root=0, stages: int = 8):
-    """Occupancy-cascade traversal (see module docstring)."""
+                      max_stack: int, root=0, stages: int = 8,
+                      floor: int = 512):
+    """Occupancy-cascade traversal (see module docstring). stages/floor:
+    max halvings and minimum stage width (round-5 sweep knobs,
+    TT_CASCADE_STAGES / TT_CASCADE_FLOOR)."""
     R = ro.shape[0]
     L, C = leaf_rows.shape[0], nodes.shape[0]
     if _TOP_PREPASS and isinstance(root, int):
@@ -689,7 +692,7 @@ def _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit: bool,
     retired = []
     size = R
     for _ in range(stages):
-        if size % 2 or size // 2 < 512:
+        if size % 2 or size // 2 < floor:
             break
         st = _run_stage(unified, L, C, any_hit, st, size // 2)
         act = _active(st)
@@ -715,6 +718,8 @@ _CASCADE_MIN_RAYS = 4096
 # above this, chunk through lax.map: 64k batches are the measured v5e
 # sweet spot (BASELINE.md) — big batches lose ~2x to cascade-stage width
 _CHUNK_RAYS = int(os.environ.get("TT_CHUNK_RAYS", "65536"))
+_CASCADE_STAGES = int(os.environ.get("TT_CASCADE_STAGES", "8"))
+_CASCADE_FLOOR = int(os.environ.get("TT_CASCADE_FLOOR", "512"))
 
 
 def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
@@ -732,7 +737,8 @@ def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
         def chunk(args):
             o, d, tm = args
             return _traverse_cascade(nodes, leaf_rows, o, d, tm, any_hit,
-                                     max_stack)
+                                     max_stack, stages=_CASCADE_STAGES,
+                                     floor=_CASCADE_FLOOR)
 
         hit = jax.lax.map(chunk, (ro.reshape(n, _CHUNK_RAYS, 3),
                                   rd.reshape(n, _CHUNK_RAYS, 3),
@@ -741,7 +747,8 @@ def _dispatch(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack,
                    u=hit.u.reshape(R), v=hit.v.reshape(R))
     if cascade and R >= _CASCADE_MIN_RAYS:
         return _traverse_cascade(nodes, leaf_rows, ro, rd, t_max, any_hit,
-                                 max_stack)
+                                 max_stack, stages=_CASCADE_STAGES,
+                                 floor=_CASCADE_FLOOR)
     return _traverse(nodes, leaf_rows, ro, rd, t_max, any_hit, max_stack)
 
 

@@ -118,11 +118,11 @@ def build_source(mesh: HostMesh, leaf_k: int = 3) -> SourceBuild:
 
 
 def _auto_leaf_k(sources: Sequence[HostMesh]) -> int:
-    """Same data-driven rule as compile_scene(leaf_k=None): k=6 —
-    the round-5 interleaved frame A/B winner (k12 wins the closest-hit
-    microbench but loses the NEE shadow any-hit by 2x; BASELINE.md
-    round-5 leaf_k table)."""
-    return 6
+    """Same data-driven rule as compile_scene(leaf_k=None): k=6 for
+    cache-resident tables (<=~400k tris), k=12 in the HBM regime where
+    it wins both ray classes (BASELINE.md round-5 leaf_k tables)."""
+    total = sum(int(np.asarray(s.indices).shape[0]) for s in sources)
+    return 6 if total <= 400_000 else 12
 
 
 def build_instanced(sources: Sequence[HostMesh],

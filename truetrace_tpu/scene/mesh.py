@@ -268,14 +268,13 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     flat W>=60 HBM gather mode and roughly halves leaf iterations on
     scenes whose table exceeds the ~30 MB on-chip cache — use for
     multi-million-triangle scenes (BASELINE.md round-3 width map).
-    None = auto: 6 — the FRAME winner. The round-5 same-session
-    interleaved A/B (scripts/tune_leafk_ab.py; paired CI ±2-7 ms)
-    settled the round-4 bench-vs-frame contradiction: on the honest
-    512^2x4 Disney+treeNEE frame k6 = 517 ms vs k3 609 / k12 674. The
-    noNEE slices tie (285 vs 288) — k12's entire loss is the NEE
-    shadow any-hit, where early-out rays pay the doubled Moller block
-    per 120-word row. The mixed-ray bench preferred k12 (+6%) but the
-    frame is the product (BASELINE.md round-5)."""
+    None = auto, scale-dependent: 6 up to ~400k tris (cache-resident
+    table; the round-5 interleaved frame A/B: 512^2x4 frame k6 517 ms
+    vs k3 609 / k12 674 — the k12 loss is entirely the NEE shadow
+    any-hit paying the doubled Moller block per row), 12 beyond (HBM
+    regime; at 5.2M tris k12 wins BOTH closest 2.53-vs-2.13 and any-hit
+    3.27-vs-2.69 Mrays/s — the flat W>=60 gather mode makes the wider
+    row free while halving row count). BASELINE.md round-5."""
     tris = flatten_meshes(meshes)
     if presplit > 0.0:
         from truetrace_tpu.build.presplit import presplit_triangles
@@ -283,10 +282,15 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     tri_box = aabb_ops.from_tris(
         tris["p0"], tris["p0"] + tris["e1"], tris["p0"] + tris["e2"])
     if leaf_k is None:
-        # frame-measured winner (see docstring): k6 beats k12 by 157 ms
-        # on the 512^2x4 frame because any-hit shadow rays hate fat
-        # rows; closest-hit-only workloads may still prefer k12
-        leaf_k = 6
+        # scale-dependent frame-measured rule (round-5 paired A/Bs):
+        # cache-resident tables (<~30 MB, ~<=400k tris at k6) -> k6
+        # (frame 517 vs 674 ms at 293k: shadow any-hit pays the doubled
+        # Moller block when gathers are cheap); HBM-resident -> k12
+        # (5.2M tris: k12 wins BOTH classes, closest 2.53 vs 2.13 and
+        # any-hit 3.27 vs 2.69 Mrays/s — in the flat W>=60 gather mode
+        # halving row count is free). Threshold 400k sits between the
+        # two measured regimes (BASELINE.md round-5 leaf_k tables).
+        leaf_k = 6 if tris["p0"].shape[0] <= 400_000 else 12
 
     # on-disk build cache (reference "Build Aggregated BVH" persistence,
     # README.md:131; scene/build_cache.py): reuse BVH2 + CWBVH + light-BVH
