@@ -77,7 +77,9 @@ def main():
         return ref_cache[key]
 
     results = {}
-    for den in ("none", "svgf", "asvgf", "recur", "neural"):
+    dens = os.environ.get("TT_DM_DENOISERS",
+                          "none,svgf,asvgf,recur,neural").split(",")
+    for den in dens:
         kw = dict(denoiser=den)
         if den == "neural":
             kw["neural_weights"] = os.path.join(
@@ -87,14 +89,28 @@ def main():
                              traversal="wavefront", light_sampling="tree",
                              **kw)
         r = Renderer(scene_a, cam0, cfg)
+
+        # jit ONE frame function of (state, scene, camera): eager
+        # Renderer.step on axon re-dispatches per op (and eager lax
+        # loops bake the scene in as constants — the round-4 trainer
+        # lesson, 26 min -> 24 s). cam_moved=True every frame: the
+        # matrix resets accumulation anyway (pure interactive output).
+        # NOTE r.cam/r.scene hold tracers after tracing — r is only
+        # used through `frame` below.
+        import jax
+
+        @jax.jit
+        def frame(st, sc, cam):
+            r.scene = sc
+            r.cam = cam
+            st = st._replace(accum=st.accum.reset())
+            _, rad, st2 = r.step(st, cam_moved=True)
+            return rad, st2
+
         st = r.init_state()
         outs = []
         for i, (sc, cam) in enumerate(frames):
-            st = st._replace(accum=st.accum.reset())
-            scene_arg = None
-            if i == 6:
-                scene_arg = scene_b       # light change enters here
-            _, rad, st = r.step(st, cam=cam, scene=scene_arg)
+            rad, st = frame(st, sc, cam)
             outs.append(np.asarray(rad))
         m = {}
         phases = {"static": range(2, 6), "change": range(6, 9),

@@ -55,8 +55,8 @@ def test_cache_key_tracks_inputs(tmp_path):
                             normals=m.normals, uvs=m.uvs) for m in meshes]
     compile_scene(m2, mats, with_cwbvh=True, cache_dir=str(tmp_path))
     assert len(list(tmp_path.glob("scene_*.npz"))) == 2
-    # leaf_k change -> new entry
-    compile_scene(meshes, mats, with_cwbvh=True, leaf_k=6,
+    # leaf_k change -> new entry (auto is 6 at this scale, so use 3)
+    compile_scene(meshes, mats, with_cwbvh=True, leaf_k=3,
                   cache_dir=str(tmp_path))
     assert len(list(tmp_path.glob("scene_*.npz"))) == 3
 

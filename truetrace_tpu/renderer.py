@@ -180,7 +180,8 @@ class Renderer:
         return state._replace(accum=state.accum.reset())
 
     def step(self, state: FrameState, cam: Optional[Camera] = None,
-             scene: Optional[Scene] = None):
+             scene: Optional[Scene] = None,
+             cam_moved: Optional[bool] = None):
         """One frame: trace (+restir/cache), denoise, accumulate, post.
         Returns (display_image [H,W,3] in [0,1], radiance [H,W,3],
         new_state). Pass `cam` to move the camera — temporal passes
@@ -212,19 +213,23 @@ class Renderer:
         if scene is not None:
             self.scene = scene
             state = state._replace(accum=state.accum.reset())
-        cam_moved = False
         if cam is not None:
-            import numpy as _np
-            moved = not _np.allclose(_np.asarray(cam.c2w),
-                                     _np.asarray(self.cam.c2w), atol=1e-7)
+            if cam_moved is None:
+                # eager path: detect movement by value. Under jit, pass
+                # cam_moved explicitly (tracers cannot be np-compared)
+                import numpy as _np
+                cam_moved = not _np.allclose(
+                    _np.asarray(cam.c2w), _np.asarray(self.cam.c2w),
+                    atol=1e-7)
             self.cam = cam
-            cam_moved = moved
-            if moved:
+            if cam_moved:
                 # camera moved: restart progressive accumulation (the
                 # reference's RunUpdate, RayTracingMaster.cs:375-392);
                 # temporal denoiser/reservoir states survive and are
                 # motion-reprojected instead
                 state = state._replace(accum=state.accum.reset())
+        if cam_moved is None:
+            cam_moved = False
         h, w = cfg.internal_size      # trace resolution (upscale>1: low)
         sid = state.sample
         pixel = jnp.arange(h * w, dtype=jnp.uint32)
