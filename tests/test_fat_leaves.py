@@ -206,3 +206,33 @@ def test_hot_order_bitwise_identical():
     np.testing.assert_array_equal(
         np.asarray(render(s0, cam, cfg, spp=2)),
         np.asarray(render(s1, cam, cfg, spp=2)))
+
+
+def test_cascade_stage_knobs_bitwise():
+    """stages/floor only change WHEN compaction happens, never results:
+    hits must be bitwise identical across knob settings."""
+    from truetrace_tpu.kernels.cwbvh_wavefront import _traverse_cascade
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+    from truetrace_tpu.core import rng as _rng
+    from truetrace_tpu.scene.ir import camera_rays
+
+    meshes, mats, cam = cornell.make()
+    sc = compile_scene(meshes, mats, with_cwbvh=True)
+    R = 1 << 14
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    jit2 = _rng.uniform2(pix, jnp.uint32(0), jnp.uint32(0))
+    ro, rd = camera_rays(cam, 128, R // 128, pix.astype(jnp.int32), jit2)
+    tm = jnp.full((R,), 1e30, jnp.float32)
+
+    base = None
+    for stages, floor in ((8, 512), (4, 512), (8, 4096), (12, 128)):
+        h = _traverse_cascade(sc.cw_nodes, sc.cw_leaf_rows, ro, rd, tm,
+                              False, sc.cw_stack, stages=stages,
+                              floor=floor)
+        if base is None:
+            base = h
+        else:
+            for a, b in zip(base, h):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))

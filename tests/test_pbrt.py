@@ -127,3 +127,79 @@ WorldEnd
     d = np.asarray(lights.direction[0])
     np.testing.assert_allclose(d, (0, -1, 0), atol=1e-6)
     assert skipped == [], skipped
+
+
+def _write_ply_ascii(path):
+    path.write_text("""ply
+format ascii 1.0
+comment a quad
+element vertex 4
+property float x
+property float y
+property float z
+property float nx
+property float ny
+property float nz
+property float u
+property float v
+element face 2
+property list uchar int vertex_indices
+end_header
+0 0 0 0 0 1 0 0
+1 0 0 0 0 1 1 0
+1 1 0 0 0 1 1 1
+0 1 0 0 0 1 0 1
+3 0 1 2
+3 0 2 3
+""")
+
+
+def test_ply_ascii_and_binary(tmp_path):
+    import struct
+    from truetrace_tpu.scene.ply_loader import load_ply
+
+    _write_ply_ascii(tmp_path / "q.ply")
+    pos, idx, n, uv = load_ply(str(tmp_path / "q.ply"))
+    assert pos.shape == (4, 3) and idx.shape == (2, 3)
+    np.testing.assert_allclose(n, np.tile([0, 0, 1], (4, 1)))
+    np.testing.assert_allclose(uv[2], (1, 1))
+
+    # same mesh, binary little endian
+    hdr = ("ply\nformat binary_little_endian 1.0\n"
+           "element vertex 4\n"
+           + "".join(f"property float {c}\n" for c in "xyz")
+           + "element face 2\n"
+           "property list uchar int vertex_indices\n"
+           "end_header\n").encode()
+    body = b""
+    for v in pos:
+        body += struct.pack("<3f", *v)
+    for fc in idx:
+        body += struct.pack("<B3i", 3, *fc)
+    (tmp_path / "qb.ply").write_bytes(hdr + body)
+    pos2, idx2, n2, uv2 = load_ply(str(tmp_path / "qb.ply"))
+    np.testing.assert_allclose(pos2, pos)
+    np.testing.assert_array_equal(idx2, idx)
+    assert n2 is None and uv2 is None
+
+
+def test_pbrt_plymesh(tmp_path):
+    _write_ply_ascii(tmp_path / "mesh.ply")
+    text = """
+LookAt 0 0 3 0 0 0 0 1 0
+Camera "perspective" "float fov" [45]
+WorldBegin
+AttributeBegin
+  Translate 1 2 0
+  Shape "plymesh" "string filename" "mesh.ply"
+AttributeEnd
+WorldEnd
+"""
+    (tmp_path / "s.pbrt").write_text(text)
+    from truetrace_tpu.scene.pbrt_loader import load_pbrt
+    meshes, mats, cam, env, lights, skipped = load_pbrt(
+        str(tmp_path / "s.pbrt"))
+    assert skipped == [], skipped
+    assert len(meshes) == 1 and meshes[0].indices.shape == (2, 3)
+    np.testing.assert_allclose(meshes[0].positions[0], (1, 2, 0),
+                               atol=1e-6)

@@ -330,6 +330,15 @@ def load_pbrt(path: str, strict: bool = False):
                 r = float(p.get("radius", [1.0])[0])
                 v, f_ = _sphere_mesh()
                 emit_mesh(v * r, f_)
+            elif stype == "plymesh":
+                fn = str(p.get("filename", [""])[0])
+                fpath = os.path.join(base, fn)
+                if os.path.exists(fpath):
+                    from truetrace_tpu.scene.ply_loader import load_ply
+                    P_, idx, N, uv = load_ply(fpath)
+                    emit_mesh(P_, idx, uvs=uv, normals=N)
+                else:
+                    skipped.append(f"plymesh {fn} (missing)")
             else:
                 skipped.append(f"Shape {stype}")
         elif d == "Include":
