@@ -66,12 +66,21 @@ def main():
     def p_step(st):
         return r.step(st)[1:]
 
+    rb = Renderer(scene, cam, RendererConfig(
+        width=W, height=H, bounces=4, light_sampling="tree",
+        step_barrier=True))
+
+    def p_step_barrier(st):
+        return rb.step(st)[1:]
+
     variants = [
         ("rad", jax.jit(p_rad), (scene, jnp.uint32(3))),
         ("rad_stats", jax.jit(p_stats), (scene, jnp.uint32(3))),
         ("rad_accum", jax.jit(p_accum), (scene, jnp.uint32(3))),
         ("rad_accum_post", jax.jit(p_post), (scene, jnp.uint32(3))),
         ("full_step", jax.jit(p_step), (r.init_state(),)),
+        ("full_step_barrier", jax.jit(p_step_barrier),
+         (rb.init_state(),)),
     ]
     res = interleaved_ab(variants, rounds=3, n1=2, n2=6)
     out = {k: round(v["median_s"] * 1e3, 1) for k, v in res.items()

@@ -64,6 +64,12 @@ class RendererConfig:
     # accumulation stays unbiased (stale pixels repeat their own past
     # samples), it just converges k-x slower.
     partial_rendering: int = 1
+    # insert jax.lax.optimization_barrier between the integrator outputs
+    # and the image-space pipeline: stops XLA from fusing/layout-
+    # propagating the post ops into the wavefront loop (the round-5
+    # composed-plain anomaly: identical flops, ~+210 ms runtime when the
+    # traced radiance flowed straight into accumulate/post on axon)
+    step_barrier: bool = False
     post: PostConfig = field(default_factory=PostConfig)
 
     @property
@@ -318,6 +324,8 @@ class Renderer:
                                                pixel, sid,
                                                di_sample=di_sample,
                                                jitter=jitter)
+        if cfg.step_barrier:
+            rad, st = jax.lax.optimization_barrier((rad, st))
         if k > 1:
             # compose the full frame: stale pixels keep (reprojected)
             # previous values, the traced subset scatters fresh ones
