@@ -28,7 +28,19 @@ sys.path.insert(0, _HERE)
 
 import numpy as np
 
-from train_denoiser import psnr, ssim  # noqa: E402  (scripts/ helpers)
+from train_denoiser import psnr as _psnr_raw, ssim  # noqa: E402
+
+
+def _tm(x):
+    """Reinhard map to [0,1): metrics on DISPLAY-scale values — raw
+    PSNR against the peak (the light's emission, ~15) compresses all
+    denoiser differences into fractions of a dB."""
+    x = np.clip(x, 0.0, None)
+    return x / (1.0 + x)
+
+
+def psnr(a, b):
+    return _psnr_raw(_tm(a), _tm(b))
 
 
 def main():
@@ -53,10 +65,11 @@ def main():
         emission=scene_a.materials.emission * 3.0))
 
     def orbit_cam(i):
-        ang = np.deg2rad(2.0 * i)
-        eye = np.array([np.sin(ang) * 3.4, 1.0, np.cos(ang) * 3.4])
-        return Camera.look_at(eye=tuple(eye), target=(0, 1, 0),
-                              fov_y_deg=40)
+        # lateral truck INSIDE the box (an orbit at r=3.4 exits the
+        # Cornell interior -> black frames, the first matrix run's bug)
+        x = 0.12 * i
+        return Camera.look_at(eye=(0.05 + x, 1.0, 3.38),
+                              target=(x * 0.5, 1.0, 0.0), fov_y_deg=40)
 
     frames = []
     for i in range(16):
@@ -117,10 +130,10 @@ def main():
                   "settled": range(9, 11), "motion": range(11, 16)}
         for ph, idxs in phases.items():
             ps = [psnr(outs[i], ref_for(i)) for i in idxs]
-            ss = [ssim(outs[i], ref_for(i)) for i in idxs]
+            ss = [ssim(_tm(outs[i]), _tm(ref_for(i))) for i in idxs]
             m[f"psnr_{ph}"] = round(float(np.mean(ps)), 2)
             m[f"ssim_{ph}"] = round(float(np.mean(ss)), 4)
-        flick = [float(np.abs(outs[i] - outs[i - 1]).mean())
+        flick = [float(np.abs(_tm(outs[i]) - _tm(outs[i - 1])).mean())
                  for i in list(range(3, 6)) + [10]]
         m["flicker_static"] = round(float(np.mean(flick)), 5)
         results[den] = m

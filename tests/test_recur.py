@@ -82,3 +82,30 @@ def test_renderer_integration():
         display, rad, st = r.step(st)
     assert np.isfinite(np.asarray(display)).all()
     assert np.asarray(rad).max() > 0.0
+
+
+def test_recur_composed_sequence_stable():
+    """Round-5 regression: emissive pixels (albedo ~ 0) must NOT blow up
+    the recurrent ladder across frames — the pre-fix composed ReCur
+    exploded ~400x from frame 1 (emission demodulated by the albedo
+    floor, then blurred into neighbours)."""
+    from truetrace_tpu.renderer import Renderer, RendererConfig
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats, with_cwbvh=True,
+                          with_light_bvh=True)
+    cfg = RendererConfig(width=32, height=32, bounces=2, bsdf="lambert",
+                         traversal="wavefront", light_sampling="tree",
+                         denoiser="recur")
+    r = Renderer(scene, cam, cfg)
+    st = r.init_state()
+    for i in range(4):
+        st = st._replace(accum=st.accum.reset())
+        _, rad, st = r.step(st)
+        a = np.asarray(rad)
+        assert np.isfinite(a).all()
+        # bounded by the scene's peak radiance (the light's emission)
+        assert a.max() <= 16.0, (i, a.max())
+        assert a.mean() < 1.0, (i, a.mean())

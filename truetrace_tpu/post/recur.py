@@ -135,9 +135,20 @@ def _edge_blur(color, normal, depth, hist_len, step: int):
 def recur_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
                   normal: jnp.ndarray, depth: jnp.ndarray,
                   state: ReCurState,
-                  motion: Optional[jnp.ndarray] = None):
-    """One ReCur frame. Returns (denoised [H,W,3], new_state)."""
-    demod = noisy / jnp.maximum(albedo, 1e-3)
+                  motion: Optional[jnp.ndarray] = None,
+                  emissive: Optional[jnp.ndarray] = None):
+    """One ReCur frame. Returns (denoised [H,W,3], new_state).
+
+    emissive: noise-free directly-visible radiance (stats["emitted0"]),
+    passed through UNfiltered — same contract as svgf_denoise. Without
+    it, emissive pixels (albedo ~ 0) demodulate their radiance by the
+    albedo floor and the blur ladder leaks the blown-up values into
+    neighbours (round-5 sequence matrix caught ReCur exploding to
+    ~6000x from frame 1). The 0.05 floor matches svgf.py: near-black
+    albedo must not amplify residual radiance."""
+    if emissive is not None:
+        noisy = jnp.maximum(noisy - emissive, 0.0)
+    demod = noisy / jnp.maximum(albedo, 0.05)
 
     # ---- reproject history (nearest; static camera = identity)
     prev_color, prev_second, prev_len = state.color, state.second, \
@@ -180,7 +191,9 @@ def recur_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     second = jnp.where(valid[..., None],
                        prev_second + a2 * (color_b - prev_second), color_b)
 
-    out = second * jnp.maximum(albedo, 1e-3) * ao[..., None]
+    out = second * jnp.maximum(albedo, 0.05) * ao[..., None]
+    if emissive is not None:
+        out = out + emissive
     new_state = ReCurState(color=color_b, second=second, hist_len=hist_len,
                            normal=normal, depth=depth, ao=ao)
     return out, new_state

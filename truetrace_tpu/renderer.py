@@ -409,7 +409,8 @@ class Renderer:
                                       lf_len=lf_len)
         elif cfg.denoiser == "recur":
             frame, recur = recur_denoise(frame, albedo, normal, depth,
-                                         state.recur, motion=motion)
+                                         state.recur, motion=motion,
+                                         emissive=emissive)
             new["recur"] = recur
         elif cfg.denoiser == "neural":
             # the OIDN slot: learned U-Net on (color, albedo, normal)
