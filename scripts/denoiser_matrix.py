@@ -64,12 +64,16 @@ def main():
     scene_b = scene_a.replace(materials=scene_a.materials.replace(
         emission=scene_a.materials.emission * 3.0))
 
+    eye0 = np.asarray(cam0.c2w)[3, :3]
+
     def orbit_cam(i):
-        # lateral truck INSIDE the box (an orbit at r=3.4 exits the
-        # Cornell interior -> black frames, the first matrix run's bug)
-        x = 0.12 * i
-        return Camera.look_at(eye=(0.05 + x, 1.0, 3.38),
-                              target=(x * 0.5, 1.0, 0.0), fov_y_deg=40)
+        # lateral truck from the scene's own camera pose (the box spans
+        # ~[0, 1.1] with the camera at z=-0.8 — absolute coordinates
+        # from another scene's frame rendered black, first two runs)
+        dx = 0.06 * i
+        return Camera.look_at(eye=(eye0[0] + dx, eye0[1], eye0[2]),
+                              target=(eye0[0] + 0.5 * dx, eye0[1], 0.0),
+                              fov_y_deg=39.0)
 
     frames = []
     for i in range(16):
@@ -103,21 +107,14 @@ def main():
                              **kw)
         r = Renderer(scene_a, cam0, cfg)
 
-        # jit ONE frame function of (state, scene, camera): eager
-        # Renderer.step on axon re-dispatches per op (and eager lax
-        # loops bake the scene in as constants — the round-4 trainer
-        # lesson, 26 min -> 24 s). cam_moved=True every frame: the
-        # matrix resets accumulation anyway (pure interactive output).
-        # NOTE r.cam/r.scene hold tracers after tracing — r is only
-        # used through `frame` below.
-        import jax
+        # jitted frame with scene+camera as ARGUMENTS (Renderer.jit_step
+        # — eager steps re-dispatch per op on axon, and a scene CLOSURE
+        # bakes constant tables costing ~+220 ms/frame, BASELINE round-5)
+        jstep = r.jit_step(cam_moved=True)
 
-        @jax.jit
         def frame(st, sc, cam):
-            r.scene = sc
-            r.cam = cam
             st = st._replace(accum=st.accum.reset())
-            _, rad, st2 = r.step(st, cam_moved=True)
+            _, rad, st2 = jstep(st, sc, cam)
             return rad, st2
 
         st = r.init_state()

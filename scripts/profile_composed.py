@@ -58,9 +58,10 @@ def main():
         r = Renderer(scene, cam, cfg)
         state0 = r.init_state()
 
-        @jax.jit
+        jstep = r.jit_step()
+
         def frame(st):
-            disp, rad, st2 = r.step(st)
+            disp, rad, st2 = jstep(st, scene, cam)
             return disp, st2
 
         # warm: 2 frames (temporal states settle + program upload)

@@ -68,9 +68,10 @@ def main():
                              light_sampling="tree", denoiser="none", **kw)
         r = Renderer(scene, cam, cfg)
 
-        @jax.jit
+        jstep = r.jit_step()
+
         def frame(st):
-            _, rad, st2 = r.step(st)
+            _, rad, st2 = jstep(st, scene, cam)
             return rad, st2
 
         st = r.init_state()

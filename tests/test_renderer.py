@@ -72,3 +72,30 @@ def test_camera_move_resets_accumulation():
     assert float(st.accum.count) == 1.0     # reset + this frame
     _, _, st = r.step(st, cam=cam2)         # same camera: keeps going
     assert float(st.accum.count) == 2.0
+
+
+def test_jit_step_matches_eager():
+    """Renderer.jit_step (scene+cam as jit ARGUMENTS — the round-5
+    composed-plain fix: a scene closure bakes constant tables costing
+    ~+220 ms/frame on axon) must produce the same frames as eager
+    step."""
+    from truetrace_tpu.scene import cornell as _cornell
+    meshes, mats, cam = _cornell.make()
+    scene = compile_scene(meshes, mats, with_cwbvh=True,
+                          with_light_bvh=True)
+    cfg = RendererConfig(width=16, height=16, bounces=2, bsdf="lambert",
+                         traversal="wavefront", light_sampling="tree",
+                         denoiser="svgf")
+    r1 = Renderer(scene, cam, cfg)
+    s1 = r1.init_state()
+    outs_eager = []
+    for _ in range(2):
+        d, rad, s1 = r1.step(s1)
+        outs_eager.append(np.asarray(rad))
+    r2 = Renderer(scene, cam, cfg)
+    frame = r2.jit_step()
+    s2 = r2.init_state()
+    for i in range(2):
+        d, rad, s2 = frame(s2, scene, cam)
+        np.testing.assert_allclose(np.asarray(rad), outs_eager[i],
+                                   atol=1e-6)

@@ -137,9 +137,9 @@ def restir_di_reservoirs(scene: Scene, cam: Camera, cfg: RenderConfig,
             mv = motion_vectors(prev_cam, cam, depth)
         else:
             mv = motion
-        ys = jnp.clip((jnp.arange(H)[:, None] - mv[..., 1]).astype(jnp.int32),
+        ys = jnp.clip(jnp.round(jnp.arange(H)[:, None] - mv[..., 1]).astype(jnp.int32),
                       0, H - 1)
-        xs = jnp.clip((jnp.arange(W)[None, :] - mv[..., 0]).astype(jnp.int32),
+        xs = jnp.clip(jnp.round(jnp.arange(W)[None, :] - mv[..., 0]).astype(jnp.int32),
                       0, W - 1)
         inb = ((jnp.arange(H)[:, None] - mv[..., 1] >= 0)
                & (jnp.arange(H)[:, None] - mv[..., 1] < H)

@@ -233,8 +233,10 @@ def taa(cur, history, alpha: float = 0.1, motion=None):
         H, W = cur.shape[:2]
         sy = jnp.arange(H)[:, None] - motion[..., 1]
         sx = jnp.arange(W)[None, :] - motion[..., 0]
-        ys = jnp.clip(sy.astype(jnp.int32), 0, H - 1)
-        xs = jnp.clip(sx.astype(jnp.int32), 0, W - 1)
+        # round-to-nearest: truncation misplaces history by a pixel for
+        # sub-pixel motion and flips on float noise around 0 (round-5)
+        ys = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, H - 1)
+        xs = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, W - 1)
         inb = (sy >= 0) & (sy < H) & (sx >= 0) & (sx < W)
         history = jnp.where(inb[..., None], history[ys, xs], cur)
     shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),

@@ -156,9 +156,9 @@ def recur_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     prev_n, prev_z, prev_ao = state.normal, state.depth, state.ao
     if motion is not None:
         H, W = depth.shape
-        ys = jnp.clip((jnp.arange(H)[:, None] - motion[..., 1]).astype(int),
+        ys = jnp.clip(jnp.round(jnp.arange(H)[:, None] - motion[..., 1]).astype(jnp.int32),
                       0, H - 1)
-        xs = jnp.clip((jnp.arange(W)[None, :] - motion[..., 0]).astype(int),
+        xs = jnp.clip(jnp.round(jnp.arange(W)[None, :] - motion[..., 0]).astype(jnp.int32),
                       0, W - 1)
         prev_color = prev_color[ys, xs]
         prev_second = prev_second[ys, xs]

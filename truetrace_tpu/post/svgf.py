@@ -136,9 +136,9 @@ def svgf_denoise(noisy: jnp.ndarray, albedo: jnp.ndarray,
     if motion is not None:
         # gather history at p - motion (nearest)
         H, W = depth.shape
-        ys = jnp.clip((jnp.arange(H)[:, None] - motion[..., 1]).astype(int),
+        ys = jnp.clip(jnp.round(jnp.arange(H)[:, None] - motion[..., 1]).astype(jnp.int32),
                       0, H - 1)
-        xs = jnp.clip((jnp.arange(W)[None, :] - motion[..., 0]).astype(int),
+        xs = jnp.clip(jnp.round(jnp.arange(W)[None, :] - motion[..., 0]).astype(jnp.int32),
                       0, W - 1)
         prev_color = prev_color[ys, xs]
         prev_moments = prev_moments[ys, xs]

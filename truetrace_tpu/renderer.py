@@ -136,6 +136,31 @@ class Renderer:
                     self.neural_params = serialization.from_bytes(
                         self.neural_params, f.read())
 
+    def jit_step(self, cam_moved: bool = False):
+        """Jitted composed frame `(state, scene, cam) -> (display,
+        radiance, new_state)` with scene and camera as traced ARGUMENTS.
+
+        Always prefer this over `jax.jit(lambda st: r.step(st))`: a
+        closure bakes the scene tables into the HLO as constants, which
+        on the axon backend costs ~+220 ms/frame on the 512^2x4 plain
+        frame (736 vs 516 ms — round-5 probe, BASELINE.md 'composed-
+        plain anomaly') on top of the compile-size limit (CLAUDE.md).
+
+        cam_moved is static (True = reset accumulation every frame, the
+        interactive-camera mode). NOTE: after the first call,
+        `self.scene`/`self.cam` hold leaked tracers — interact with the
+        renderer only through the returned function (or re-assign real
+        arrays before eager use)."""
+        @jax.jit
+        def frame(state, scene, cam):
+            self.scene = scene
+            self.cam = cam
+            if cam_moved:
+                # step() only auto-resets when it receives cam= itself
+                state = state._replace(accum=state.accum.reset())
+            return self.step(state, cam_moved=cam_moved)
+        return frame
+
     def _init_partial(self, ih, iw):
         """Full-res compose buffers for partial rendering (see
         FrameState.partial)."""
@@ -257,10 +282,12 @@ class Renderer:
             # motion-reproject the persistent compose buffers so stale
             # pixels track the new view (fresh subset overwrites after)
             mv = _motion(P["depth"].reshape(h, w), P["inst"])
-            ys = jnp.clip((jnp.arange(h)[:, None] - mv[..., 1])
-                          .astype(jnp.int32), 0, h - 1)
-            xs = jnp.clip((jnp.arange(w)[None, :] - mv[..., 0])
-                          .astype(jnp.int32), 0, w - 1)
+            ys = jnp.clip(jnp.round(jnp.arange(h)[:, None]
+                                    - mv[..., 1]).astype(jnp.int32),
+                          0, h - 1)
+            xs = jnp.clip(jnp.round(jnp.arange(w)[None, :]
+                                    - mv[..., 0]).astype(jnp.int32),
+                          0, w - 1)
             P = {key: buf.reshape((h, w) + buf.shape[1:])[ys, xs]
                  .reshape(buf.shape) for key, buf in P.items()}
         # TAAU jitter sequence: one Halton subpixel offset per frame so
