@@ -142,3 +142,72 @@ def test_camera_lookat_orientation(tmp_path):
     _, _, cam, _ = load_mitsuba(str(p))
     eye = np.asarray(cam.c2w)[3, :3]
     np.testing.assert_allclose(eye, [1, 2, 3], atol=1e-5)
+
+
+def test_bitmap_textures(tmp_path):
+    """Bitmap textures (inline <texture> and scene-level <texture id> +
+    <ref>) route into the atlas with per-texture UV scale, and shapes get
+    UVs so the texture actually shows in a render."""
+    from PIL import Image
+
+    # left half red, right half blue (u in [0, 0.5) vs [0.5, 1))
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = (255, 0, 0)
+    img[:, 4:] = (0, 0, 255)
+    Image.fromarray(img).save(tmp_path / "half.png")
+
+    (tmp_path / "tex.xml").write_text("""<scene version="2.0.0">
+      <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="to_world">
+          <lookat origin="0, 0, 3" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+      </sensor>
+      <texture type="bitmap" id="shared">
+        <string name="filename" value="half.png"/>
+        <float name="uscale" value="2"/>
+      </texture>
+      <shape type="rectangle">
+        <bsdf type="diffuse">
+          <texture type="bitmap" name="reflectance">
+            <string name="filename" value="half.png"/>
+          </texture>
+        </bsdf>
+      </shape>
+      <shape type="sphere">
+        <float name="radius" value="0.25"/>
+        <bsdf type="diffuse">
+          <ref name="reflectance" id="shared"/>
+        </bsdf>
+      </shape>
+      <emitter type="constant">
+        <rgb name="radiance" value="1, 1, 1"/>
+      </emitter>
+    </scene>""")
+
+    from truetrace_tpu.scene.atlas import AtlasBuilder
+    ab = AtlasBuilder()
+    meshes, mats, cam, env = load_mitsuba(str(tmp_path / "tex.xml"),
+                                          atlas_builder=ab)
+    assert len(ab.images) == 1, "same file should dedupe to one atlas slot"
+    assert mats[0].tex_albedo == 0
+    assert mats[1].tex_albedo == 0
+    assert mats[1].uv_scale[0] == 2.0          # uscale carried
+    assert meshes[0].uvs is not None and meshes[1].uvs is not None
+    assert np.isfinite(meshes[1].uvs).all()
+
+    atlas, rects, level_y = ab.build()
+    from truetrace_tpu.integrate.pathtrace import RenderConfig, render
+    from truetrace_tpu.scene.mesh import compile_scene
+    scene = compile_scene(meshes, mats, env=env, atlas=atlas,
+                          atlas_rects=rects, atlas_level_y=level_y,
+                          with_cwbvh=True)
+    cfg = RenderConfig(width=32, height=32, bounces=2, bsdf="disney",
+                       traversal="wavefront")
+    im = np.asarray(render(scene, cam, cfg, spp=8))
+    assert np.isfinite(im).all()
+    left = im[8:24, 2:10].mean(axis=(0, 1))
+    right = im[8:24, 22:30].mean(axis=(0, 1))
+    # rectangle u runs 0->1 left to right on screen: red left, blue right
+    assert left[0] > left[2], left
+    assert right[2] > right[0], right

@@ -113,17 +113,81 @@ def _apply(M: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return (pts @ M[:3, :3].T + M[:3, 3]).astype(np.float32)
 
 
-def _bsdf_to_material(elem) -> HostMaterial:
+class _TexCtx:
+    """Bitmap-texture loading context: resolves inline <texture> elements
+    and <ref>s to scene-level <texture id=..> declarations into atlas
+    texture ids (+ a per-texture UV scale from uscale/vscale floats or a
+    to_uv transform). Mitsuba textured scenes (e.g. the obj-with-texture
+    staircase/bathroom corpus) otherwise degrade to flat reflectance."""
+
+    def __init__(self, atlas_builder, base_dir, root):
+        self.atlas = atlas_builder
+        self.base = base_dir
+        self.decl = {t.get("id"): t for t in root.findall("texture")
+                     if t.get("id")}
+        self.cache: Dict[str, Tuple[int, tuple]] = {}
+
+    def load(self, tex_elem) -> Tuple[int, tuple]:
+        if tex_elem.get("type") != "bitmap":
+            return -1, (1.0, 1.0)
+        fname = _named(tex_elem, "filename")
+        if not fname:
+            return -1, (1.0, 1.0)
+        us = float(_named(tex_elem, "uscale", 1.0) or 1.0)
+        vs = float(_named(tex_elem, "vscale", 1.0) or 1.0)
+        for tr in tex_elem.findall("transform"):
+            if tr.get("name") == "to_uv":
+                M = _transform_matrix(tr)
+                us, vs = us * float(M[0, 0]), vs * float(M[1, 1])
+        key = fname
+        if key not in self.cache:
+            tid = -1
+            try:
+                from PIL import Image
+                img = np.asarray(
+                    Image.open(os.path.join(self.base, fname))
+                    .convert("RGBA"), np.uint8)
+                tid = self.atlas.add(img)
+            except Exception:
+                tid = -1
+            self.cache[key] = (tid, None)
+        tid, _ = self.cache[key]
+        return tid, (us, vs)
+
+    def lookup(self, elem, name) -> Tuple[int, tuple]:
+        """Texture bound to parameter `name` on a bsdf element."""
+        for child in elem:
+            if child.get("name") != name:
+                continue
+            if child.tag == "texture":
+                return self.load(child)
+            if child.tag == "ref" and child.get("id") in self.decl:
+                return self.load(self.decl[child.get("id")])
+        return -1, (1.0, 1.0)
+
+
+def _bsdf_to_material(elem, tex: Optional[_TexCtx] = None) -> HostMaterial:
     t = elem.get("type", "diffuse")
+
+    def tex_kw(name):
+        if tex is None:
+            return {}
+        tid, uvs = tex.lookup(elem, name)
+        if tid < 0:
+            return {}
+        return {"tex_albedo": tid,
+                "uv_scale": (uvs[0], uvs[1], 0.0, 0.0)}
+
     if t == "twosided":
         inner = elem.find("bsdf")
         if inner is not None:
-            return _bsdf_to_material(inner)
+            return _bsdf_to_material(inner, tex)
         t = "diffuse"
     if t == "diffuse":
-        return HostMaterial(
-            base_color=_named(elem, "reflectance", (0.5, 0.5, 0.5)),
-            roughness=1.0)
+        kw = tex_kw("reflectance")
+        base = (1.0, 1.0, 1.0) if kw else \
+            _named(elem, "reflectance", (0.5, 0.5, 0.5))
+        return HostMaterial(base_color=base, roughness=1.0, **kw)
     if t in ("conductor", "roughconductor"):
         alpha = _named(elem, "alpha", 0.1 if t == "roughconductor"
                        else 0.01)
@@ -141,10 +205,12 @@ def _bsdf_to_material(elem) -> HostMaterial:
             specular=0.0, thin=1.0 if t == "thindielectric" else 0.0)
     if t in ("plastic", "roughplastic"):
         alpha = _named(elem, "alpha", 0.1)
-        return HostMaterial(
-            base_color=_named(elem, "diffuse_reflectance",
-                              (0.5, 0.5, 0.5)),
-            roughness=float(np.sqrt(float(alpha))), specular=0.5)
+        kw = tex_kw("diffuse_reflectance")
+        base = (1.0, 1.0, 1.0) if kw else \
+            _named(elem, "diffuse_reflectance", (0.5, 0.5, 0.5))
+        return HostMaterial(base_color=base,
+                            roughness=float(np.sqrt(float(alpha))),
+                            specular=0.5, **kw)
     return HostMaterial()       # unknown: matte gray
 
 
@@ -165,16 +231,28 @@ def _cube():
 def _sphere(n_lat=16, n_lon=24):
     from truetrace_tpu.scene.primitives import uv_sphere
     v, f, _ = uv_sphere(n_lat, n_lon, radius=1.0)
-    return v.astype(np.float32), f.astype(np.int32)
+    v = v.astype(np.float32)
+    # lat-long UVs from the unit-sphere directions (Mitsuba sphere
+    # parameterization; the lon seam shares wrapped vertices — fine for
+    # the importer subset)
+    uv = np.stack([np.arctan2(v[:, 2], v[:, 0]) / (2 * np.pi) + 0.5,
+                   np.arccos(np.clip(v[:, 1], -1, 1)) / np.pi],
+                  axis=1).astype(np.float32)
+    return v, f.astype(np.int32), uv
 
 
-def load_mitsuba(path: str):
+def load_mitsuba(path: str, atlas_builder=None):
     """Parse a Mitsuba XML scene. Returns (meshes, mats, cam, env):
-    cam is a Camera or None; env an EnvMap or None."""
+    cam is a Camera or None; env an EnvMap or None. Pass an
+    scene.atlas.AtlasBuilder to import bitmap textures (tex_albedo ids +
+    per-texture UV scale); call its .build() afterwards and hand the
+    result to compile_scene(atlas=..., atlas_rects=..., ...)."""
     from truetrace_tpu.scene.ir import Camera, EnvMap
 
     base = os.path.dirname(os.path.abspath(path))
     root = ET.parse(path).getroot()
+    tex = _TexCtx(atlas_builder, base, root) \
+        if atlas_builder is not None else None
 
     # id -> material for referenced bsdfs
     mat_by_id: Dict[str, HostMaterial] = {}
@@ -185,7 +263,7 @@ def load_mitsuba(path: str):
 
     for b in root.findall("bsdf"):
         if b.get("id"):
-            mat_by_id[b.get("id")] = _bsdf_to_material(b)
+            mat_by_id[b.get("id")] = _bsdf_to_material(b, tex)
 
     def add_mat(m: HostMaterial) -> int:
         mats.append(m)
@@ -199,7 +277,7 @@ def load_mitsuba(path: str):
         mat = None
         inline = shape.find("bsdf")
         if inline is not None:
-            mat = _bsdf_to_material(inline)
+            mat = _bsdf_to_material(inline, tex)
         else:
             ref = shape.find("ref")
             if ref is not None and ref.get("id") in mat_by_id:
@@ -224,12 +302,14 @@ def load_mitsuba(path: str):
                     np.full(sm.indices.shape[0], mid, np.int32),
                     uvs=sm.uvs))
         elif stype in ("rectangle", "cube", "sphere"):
+            uvs = None
             if stype == "rectangle":
                 v, f = _RECT
+                uvs = (v[:, :2] * 0.5 + 0.5).astype(np.float32)
             elif stype == "cube":
                 v, f = _cube()
             else:
-                v, f = _sphere()
+                v, f, uvs = _sphere()
                 c = _named(shape, "center")
                 r = _named(shape, "radius", 1.0)
                 if r is not None:
@@ -237,7 +317,8 @@ def load_mitsuba(path: str):
                 if c is not None:
                     v = v + np.asarray(c, np.float32)
             meshes.append(HostMesh(
-                _apply(M, v), f, np.full(f.shape[0], mid, np.int32)))
+                _apply(M, v), f, np.full(f.shape[0], mid, np.int32),
+                uvs=uvs))
         # unsupported shapes are skipped
 
     for emitter in root.findall("emitter"):
