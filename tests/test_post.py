@@ -188,3 +188,58 @@ def test_agx_looks():
     y1 = np.asarray(tonemap_agx_punchy(x))
     y2 = np.asarray(tonemap_agx_punchy(x * 1.5))
     assert (y2 >= y1 - 1e-5).all()
+
+
+def test_lut3d_bake_matches_analytic():
+    """A baked ACES LUT applied through the trilinear sampler tracks the
+    analytic curve (reference ToneMapTex baked-LUT parity)."""
+    import numpy as np
+    from truetrace_tpu.post.pipeline import (apply_lut3d,
+                                             bake_tonemap_lut,
+                                             tonemap_aces)
+    lut = bake_tonemap_lut("aces", size=65)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 8, (64, 3)).astype(np.float32))
+    got = np.asarray(apply_lut3d(x, lut))
+    want = np.asarray(tonemap_aces(x))
+    assert np.abs(got - want).max() < 0.02, np.abs(got - want).max()
+
+
+def test_cube_lut_roundtrip(tmp_path):
+    """.cube parsing: header keys, DOMAIN_*, red-fastest data order; an
+    identity cube applied display-referred is a no-op."""
+    import numpy as np
+    from truetrace_tpu.post.pipeline import apply_lut3d, load_cube_lut
+    n = 3
+    lines = ["TITLE \"identity\"", "LUT_3D_SIZE 3",
+             "DOMAIN_MIN 0.0 0.0 0.0", "DOMAIN_MAX 1.0 1.0 1.0"]
+    for b in range(n):
+        for g in range(n):
+            for r in range(n):
+                lines.append(f"{r/2} {g/2} {b/2}")
+    p = tmp_path / "id.cube"
+    p.write_text("\n".join(lines) + "\n")
+    lut, (dmin, dmax) = load_cube_lut(str(p))
+    assert lut.shape == (3, 3, 3, 3) and dmax == (1.0, 1.0, 1.0)
+    # red-fastest: lut[b][g][r]
+    np.testing.assert_allclose(lut[0, 0, 2], [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(lut[2, 0, 0], [0.0, 0.0, 1.0])
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (32, 3)).astype(np.float32))
+    got = np.asarray(apply_lut3d(x, jnp.asarray(lut), shaper=False,
+                                 domain=(dmin, dmax)))
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
+
+
+def test_postprocess_lut_mode():
+    """PostConfig(tonemap="lut") routes through apply_lut3d and matches
+    the analytic pipeline within LUT-resolution tolerance."""
+    import numpy as np
+    from truetrace_tpu.post.pipeline import (PostConfig, bake_tonemap_lut,
+                                             postprocess)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 4, (8, 8, 3)).astype(np.float32))
+    lut = bake_tonemap_lut("agx_punchy", size=65)
+    out_lut, _ = postprocess(img, PostConfig(tonemap="lut", lut3d=lut))
+    out_ana, _ = postprocess(img, PostConfig(tonemap="agx_punchy"))
+    assert np.abs(np.asarray(out_lut) - np.asarray(out_ana)).max() < 0.03
