@@ -80,6 +80,21 @@ def _row_cols(row):
 # measured on-chip before flipping the default (BASELINE.md round 3).
 _PALLAS_STEP = os.environ.get("TT_PALLAS_STEP", "0") == "1"
 
+# Slab-decode restructure experiments (round 5, scripts/tune_decode5.py).
+# All variants are bitwise-identical to v1: for occupied slots lo <= hi,
+# and both subtraction and multiplication by a positive (resp. negative)
+# inv are monotone (resp. antitone) under round-to-nearest, so
+# min(t0,t1) IS the near-bound product exactly. Read at trace time.
+#   0 = v1 baseline (inline, 3-op unpacks, per-slot min/max + occ gate)
+#   2 = hoisted near/far word select + deferred masking — MEASURED 3x
+#       SLOWER (243 vs 85 ms on the bench mix): the 24 hoisted select
+#       intermediates are materialized across the slot loop and break
+#       the single decode fusion. Kept as the experimental record.
+#   3 = inline sign-select near/far + 1-op halfword unpacks (fusion
+#       intact, ~10 ops/slot-axis vs 14)
+#   4 = 1-op halfword unpacks only (minimal delta vs v1)
+_DECODE_V2 = int(os.environ.get("TT_DECODE_V2", "0"))
+
 # One entry per tree level; CWBVH depth ~ log8(T) (measured: 9 at 293k
 # tris, 12 at 5.2M). The stack planes are shift registers — every
 # iteration shuffles all MAX_STACK columns of 3 planes (~14% of the step,
@@ -292,7 +307,82 @@ def _decode_cols(col, R, ro, rd, inv_rd, t_best):
     rox = [ro[:, k] for k in range(3)]
     invx = [inv_rd[:, k] for k in range(3)]
 
+    if _DECODE_V2 in (3, 4):
+        bc = jax.lax.bitcast_convert_type
+        sel = _DECODE_V2 == 3
+        pos = [invx[a] >= 0 for a in range(3)] if sel else None
+        hits8 = jnp.zeros((R,), U32)
+        for j in range(8):
+            wi = j >> 1
+            hi_half = (j & 1) == 1
+            tn = jnp.full((R,), -jnp.inf)
+            tf = jnp.full((R,), jnp.inf)
+            for axis in range(3):
+                lo_w = col(8 * axis + wi)
+                hi_w = col(8 * axis + 4 + wi)
+                # bf16 halfword -> f32 bits in ONE op per bound
+                if hi_half:
+                    lo = bc(lo_w & U32(0xFFFF0000), jnp.float32)
+                    hi = bc(hi_w & U32(0xFFFF0000), jnp.float32)
+                else:
+                    lo = bc(lo_w << 16, jnp.float32)
+                    hi = bc(hi_w << 16, jnp.float32)
+                t0 = (lo - rox[axis]) * invx[axis]
+                t1 = (hi - rox[axis]) * invx[axis]
+                if sel:
+                    tn = jnp.maximum(tn, jnp.where(pos[axis], t0, t1))
+                    tf = jnp.minimum(tf, jnp.where(pos[axis], t1, t0))
+                else:
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best)
+            hits8 = hits8 | jnp.where(hitj, U32(1 << j), U32(0))
+        m = hits8 & occ
+        return ((m & imask) << 24) | (m & (bleaf >> 24)), chim, bleaf
+
+    if _DECODE_V2 == 2:
+        # near/far word select hoisted per (axis, word): 24 selects total
+        # instead of re-deriving both bounds + min/max inside all 24
+        # slot-axis bodies (see _DECODE_V2 note at top of file)
+        nearw, farw = {}, {}
+        for axis in range(3):
+            p = invx[axis] >= 0
+            for wi in range(4):
+                lo_w = col(8 * axis + wi)
+                hi_w = col(8 * axis + 4 + wi)
+                nearw[axis, wi] = jnp.where(p, lo_w, hi_w)
+                farw[axis, wi] = jnp.where(p, hi_w, lo_w)
+        bc = jax.lax.bitcast_convert_type
+        hits8 = jnp.zeros((R,), U32)
+        for j in range(8):
+            wi = j >> 1
+            hi_half = (j & 1) == 1
+            tn = jnp.full((R,), -jnp.inf)
+            tf = jnp.full((R,), jnp.inf)
+            for axis in range(3):
+                nw, fw = nearw[axis, wi], farw[axis, wi]
+                # bf16 halfword -> f32 bits in ONE op per bound
+                if hi_half:
+                    nb, fb = nw & U32(0xFFFF0000), fw & U32(0xFFFF0000)
+                else:
+                    nb, fb = nw << 16, fw << 16
+                tn = jnp.maximum(tn, (bc(nb, jnp.float32) - rox[axis])
+                                 * invx[axis])
+                tf = jnp.minimum(tf, (bc(fb, jnp.float32) - rox[axis])
+                                 * invx[axis])
+            hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best)
+            hits8 = hits8 | jnp.where(hitj, U32(1 << j), U32(0))
+        m = hits8 & occ
+        return ((m & imask) << 24) | (m & (bleaf >> 24)), chim, bleaf
+
+    # v5/v6 isolate the two deltas shared by the slower variants:
+    # v5 = v1 with ONLY the 1-op halfword unpack; v6 = v1 with ONLY the
+    # deferred occ/is_int masking (3-op unpack kept).
+    one_op_unpack = _DECODE_V2 == 5
+    deferred_mask = _DECODE_V2 == 6
+    bc = jax.lax.bitcast_convert_type
     hits = jnp.zeros((R,), U32)
+    hits8 = jnp.zeros((R,), U32)
     for j in range(8):
         wi = j >> 1
         lo_sh = U32(16 * (j & 1))
@@ -301,19 +391,34 @@ def _decode_cols(col, R, ro, rd, inv_rd, t_best):
         for axis in range(3):
             lo_w = col(8 * axis + wi)
             hi_w = col(8 * axis + 4 + wi)
-            lo = jax.lax.bitcast_convert_type(
-                ((lo_w >> lo_sh) & U32(0xFFFF)) << 16, jnp.float32)
-            hi = jax.lax.bitcast_convert_type(
-                ((hi_w >> lo_sh) & U32(0xFFFF)) << 16, jnp.float32)
+            if one_op_unpack:
+                if (j & 1) == 1:
+                    lo = bc(lo_w & U32(0xFFFF0000), jnp.float32)
+                    hi = bc(hi_w & U32(0xFFFF0000), jnp.float32)
+                else:
+                    lo = bc(lo_w << 16, jnp.float32)
+                    hi = bc(hi_w << 16, jnp.float32)
+            else:
+                lo = bc(((lo_w >> lo_sh) & U32(0xFFFF)) << 16,
+                        jnp.float32)
+                hi = bc(((hi_w >> lo_sh) & U32(0xFFFF)) << 16,
+                        jnp.float32)
             t0 = (lo - rox[axis]) * invx[axis]
             t1 = (hi - rox[axis]) * invx[axis]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best) \
-            & (((occ >> j) & U32(1)) == 1)
-        is_int = ((imask >> j) & U32(1)) == 1
-        bit = jnp.where(is_int, U32(1 << (24 + j)), U32(1 << j))
-        hits = hits | jnp.where(hitj, bit, U32(0))
+        if deferred_mask:
+            hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best)
+            hits8 = hits8 | jnp.where(hitj, U32(1 << j), U32(0))
+        else:
+            hitj = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best) \
+                & (((occ >> j) & U32(1)) == 1)
+            is_int = ((imask >> j) & U32(1)) == 1
+            bit = jnp.where(is_int, U32(1 << (24 + j)), U32(1 << j))
+            hits = hits | jnp.where(hitj, bit, U32(0))
+    if deferred_mask:
+        m = hits8 & occ
+        hits = ((m & imask) << 24) | (m & (bleaf >> 24))
     return hits, chim, bleaf
 
 
