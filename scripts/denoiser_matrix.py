@@ -95,10 +95,11 @@ def main():
 
     results = {}
     dens = os.environ.get("TT_DM_DENOISERS",
-                          "none,svgf,asvgf,recur,neural").split(",")
+                          "none,svgf,asvgf,recur,neural,neural_taa"
+                          ).split(",")
     for den in dens:
         kw = dict(denoiser=den)
-        if den == "neural":
+        if den.startswith("neural"):
             kw["neural_weights"] = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "examples", "denoiser.msgpack")

@@ -54,3 +54,55 @@ def test_shipped_weights_beat_noisy_on_fresh_render():
     p_noisy = _psnr(noisy, target)
     p_neural = _psnr(out, target)
     assert p_neural > p_noisy, (p_noisy, p_neural)
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS),
+                    reason="shipped weights missing")
+def test_neural_taa_cuts_flicker():
+    """denoiser="neural_taa" (U-Net + clamped temporal blend) threads its
+    history through FrameState and cuts frame-to-frame flicker vs the
+    plain neural path on a static 1-spp sequence (the matrix showed
+    plain neural flickering ~3x the temporal filters)."""
+    import numpy as np
+
+    from truetrace_tpu.renderer import Renderer, RendererConfig
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats, with_cwbvh=True,
+                          with_light_bvh=True)
+
+    def run(den):
+        cfg = RendererConfig(width=48, height=48, bounces=2,
+                             bsdf="disney", traversal="wavefront",
+                             light_sampling="tree", denoiser=den,
+                             neural_weights=WEIGHTS)
+        r = Renderer(scene, cam, cfg)
+        st = r.init_state()
+        outs = []
+        for _ in range(6):
+            st = st._replace(accum=st.accum.reset())
+            _, rad, st = r.step(st)
+            outs.append(np.asarray(rad))
+        return outs, st
+
+    outs_n, _ = run("neural")
+    outs_t, st_t = run("neural_taa")
+    assert st_t.neural_hist is not None
+    assert np.isfinite(st_t.neural_hist).all()
+    for o in outs_t:
+        assert np.isfinite(o).all()
+
+    def tm(x):
+        x = np.clip(x, 0, None)
+        return x / (1 + x)
+
+    def flicker(outs):
+        return np.mean([np.abs(tm(outs[i]) - tm(outs[i - 1])).mean()
+                        for i in (4, 5)])
+
+    fn, ft = flicker(outs_n), flicker(outs_t)
+    assert ft < 0.6 * fn, (fn, ft)
+    # the temporal blend must not wash the image out
+    assert abs(tm(outs_t[-1]).mean() - tm(outs_n[-1]).mean()) < 0.05

@@ -40,6 +40,10 @@ class RendererConfig:
     light_sampling: str = "tree"
     use_nee: bool = True
     denoiser: str = "none"          # none | svgf | asvgf | recur | neural
+                                    # | neural_taa (U-Net + clamped
+                                    # temporal blend: the matrix showed
+                                    # plain neural flickers ~3x the
+                                    # temporal filters)
                                     # (use_restir + "asvgf" = ReSTIR-ASVGF)
     neural_weights: str = ""        # msgpack path for denoiser="neural"
                                     # (scripts/train_denoiser.py output)
@@ -114,6 +118,9 @@ class FrameState(NamedTuple):
     # (post/motion.py motion_vectors_objects; reference engine
     # MotionVectors, RayGenKernels.compute:78-82)
     prev_inst_l2w: Optional[jnp.ndarray] = None
+    # denoiser="neural_taa": previous denoised frame (internal res) for
+    # the motion-reprojected clamped temporal blend
+    neural_hist: Optional[jnp.ndarray] = None
 
 
 class Renderer:
@@ -125,7 +132,7 @@ class Renderer:
         self.cfg = cfg
         self.rcfg = cfg.render_config()
         self.neural_params = None
-        if cfg.denoiser == "neural":
+        if cfg.denoiser in ("neural", "neural_taa"):
             import os
             from flax import serialization
             from truetrace_tpu.post.neural import init_params
@@ -203,6 +210,8 @@ class Renderer:
             if self.cfg.partial_rendering > 1 else None,
             exposure=jnp.float32(-1.0) if self.cfg.post.auto_expose
             else None,
+            neural_hist=jnp.zeros((ih, iw, 3), jnp.float32)
+            if self.cfg.denoiser == "neural_taa" else None,
         )
 
     def reset_accumulation(self, state: FrameState) -> FrameState:
@@ -439,11 +448,20 @@ class Renderer:
                                          state.recur, motion=motion,
                                          emissive=emissive)
             new["recur"] = recur
-        elif cfg.denoiser == "neural":
+        elif cfg.denoiser in ("neural", "neural_taa"):
             # the OIDN slot: learned U-Net on (color, albedo, normal)
             from truetrace_tpu.post.neural import denoise as neural_denoise
             frame = neural_denoise(self.neural_params, frame, albedo,
                                    normal)
+            if cfg.denoiser == "neural_taa":
+                # the U-Net has no temporal term and flickers ~3x the
+                # temporal filters (denoiser matrix, BASELINE round 5);
+                # a motion-reprojected neighborhood-clamped blend on its
+                # OUTPUT keeps the PSNR lead and kills the flicker
+                from truetrace_tpu.post.pipeline import taa
+                frame = taa(frame, state.neural_hist, alpha=0.2,
+                            motion=motion)
+                new["neural_hist"] = frame
 
         # ---- firefly suppression before accumulation (reference
         # FireFlyPass.shader blit, RayTracingMaster.cs:1132)
