@@ -231,6 +231,20 @@ def test_cube_lut_roundtrip(tmp_path):
     np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
 
 
+def test_cube_lut_save_roundtrip(tmp_path):
+    """save_cube_lut -> load_cube_lut round-trips a baked LUT."""
+    import numpy as np
+    from truetrace_tpu.post.pipeline import (bake_tonemap_lut,
+                                             load_cube_lut,
+                                             save_cube_lut)
+    lut = bake_tonemap_lut("reinhard", size=5)
+    p = tmp_path / "r.cube"
+    save_cube_lut(str(p), lut)
+    back, (dmin, dmax) = load_cube_lut(str(p))
+    np.testing.assert_allclose(back, np.asarray(lut), atol=1e-5)
+    assert dmin == (0.0, 0.0, 0.0) and dmax == (1.0, 1.0, 1.0)
+
+
 def test_postprocess_lut_mode():
     """PostConfig(tonemap="lut") routes through apply_lut3d and matches
     the analytic pipeline within LUT-resolution tolerance."""

@@ -197,6 +197,24 @@ def load_cube_lut(path: str):
     return lut, (dmin, dmax)
 
 
+def save_cube_lut(path: str, lut, title: str = "truetrace_tpu",
+                  domain=((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))) -> None:
+    """Write a [N,N,N,3] LUT (indexed [b][g][r]) as an Adobe/Resolve
+    .cube file (red-fastest data order) — round-trips through
+    load_cube_lut; lets baked looks travel to external grading tools."""
+    import numpy as np
+    a = np.asarray(lut, np.float32)
+    n = a.shape[0]
+    with open(path, "w") as f:
+        f.write(f'TITLE "{title}"\nLUT_3D_SIZE {n}\n')
+        f.write("DOMAIN_MIN %g %g %g\n" % tuple(domain[0]))
+        f.write("DOMAIN_MAX %g %g %g\n" % tuple(domain[1]))
+        for b in range(n):
+            for g in range(n):
+                for r in range(n):
+                    f.write("%.6f %.6f %.6f\n" % tuple(a[b, g, r]))
+
+
 def bake_tonemap_lut(tonemap, size: int = 33):
     """Bake an analytic tonemapper (name from _TONEMAPS or a callable)
     into a [N,N,N,3] LUT over the Reinhard-shaped HDR domain — the
