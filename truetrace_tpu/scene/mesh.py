@@ -263,7 +263,9 @@ def compile_scene(meshes: List[HostMesh], mats: List[HostMaterial],
     — tighter trees, fewer traversal visits/ray on architectural
     scenes); 0 = off.
 
-    leaf_k: triangles per CWBVH leaf slot / leaf row (3, 6 or 12). 3 is
+    leaf_k: triangles per CWBVH leaf slot / leaf row (any K — rows are
+    10K words wide; 3/6/12 are the measured operating points, and the
+    round-5 k8/k10 probe confirmed no intermediate beats them). 3 is
     the cache-resident default; 6 ("fat leaves", 60-word rows) rides the
     flat W>=60 HBM gather mode and roughly halves leaf iterations on
     scenes whose table exceeds the ~30 MB on-chip cache — use for
