@@ -257,3 +257,34 @@ def test_postprocess_lut_mode():
     out_lut, _ = postprocess(img, PostConfig(tonemap="lut", lut3d=lut))
     out_ana, _ = postprocess(img, PostConfig(tonemap="agx_punchy"))
     assert np.abs(np.asarray(out_lut) - np.asarray(out_ana)).max() < 0.03
+
+
+def test_renderer_lut_post_mode():
+    """RendererConfig(post=PostConfig(tonemap="lut", lut3d=...)) routes
+    the composed frame's display output through the LUT (full-path
+    smoke: bake ACES, compare against the analytic ACES config)."""
+    import numpy as np
+
+    from truetrace_tpu.post.pipeline import PostConfig, bake_tonemap_lut
+    from truetrace_tpu.renderer import Renderer, RendererConfig
+    from truetrace_tpu.scene import cornell
+    from truetrace_tpu.scene.mesh import compile_scene
+
+    meshes, mats, cam = cornell.make()
+    scene = compile_scene(meshes, mats, with_cwbvh=True,
+                          with_light_bvh=True)
+
+    def display(post):
+        cfg = RendererConfig(width=32, height=32, bounces=2,
+                             bsdf="disney", traversal="wavefront",
+                             light_sampling="tree", post=post)
+        r = Renderer(scene, cam, cfg)
+        st = r.init_state()
+        disp, _, _ = r.step(st)
+        return np.asarray(disp)
+
+    lut = bake_tonemap_lut("aces", size=65)
+    d_lut = display(PostConfig(tonemap="lut", lut3d=lut))
+    d_ana = display(PostConfig(tonemap="aces"))
+    assert np.isfinite(d_lut).all()
+    assert np.abs(d_lut - d_ana).max() < 0.05, np.abs(d_lut - d_ana).max()
