@@ -64,19 +64,15 @@ def main():
             disp, rad, st2 = jstep(st, scene, cam)
             return disp, st2
 
-        # warm: 2 frames (temporal states settle + program upload)
+        # warm: 2 frames (temporal states settle + program upload),
+        # then a 3/9-iteration marginal slope (the 2-frame delta this
+        # used before read ~6% hot vs the slope — BASELINE round-5
+        # final HEAD note)
         disp, st = frame(state0)
         disp, st = frame(st)
         np.asarray(disp)
-        t0 = time.perf_counter()
-        disp, st = frame(st)
-        np.asarray(disp)
-        t1 = time.perf_counter()
-        for _ in range(3):
-            disp, st = frame(st)
-        np.asarray(disp)
-        t2 = time.perf_counter()
-        ms = ((t2 - t1) - (t1 - t0)) / 2 * 1e3
+        from truetrace_tpu.utils.profiling import marginal_slope
+        ms = marginal_slope(lambda: frame(st)[0]) * 1e3
         out[name] = round(ms, 1)
         print(f"{name:16s} {ms:9.1f} ms/frame", flush=True)
     print(json.dumps(out), flush=True)
